@@ -1,0 +1,36 @@
+"""Test harness config: force CPU with an 8-device virtual mesh so sharding
+tests run without TPU hardware (SURVEY.md section 4: multi-host correctness is
+validated on a simulated CPU mesh)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# NOTE: do NOT enable the persistent compilation cache here — XLA:CPU AOT
+# reload has a machine-feature mismatch on this host (prefer-no-scatter/
+# prefer-no-gather) that silently corrupts numerics of cached executables.
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rodent_mj_model():
+    import mujoco
+
+    from track_mjx_tpu.envs.walker.base import DEFAULT_ASSET_ROOT
+
+    path = os.path.join(DEFAULT_ASSET_ROOT, "rodent", "rodent.xml")
+    return mujoco.MjModel.from_xml_path(path)
+
+
+@pytest.fixture(scope="session")
+def rodent_system(rodent_mj_model):
+    from track_mjx_tpu.physics import model as pm
+
+    return pm.put_model(rodent_mj_model)

@@ -1,0 +1,185 @@
+"""Rollout collection and evaluation (replaces brax.training.acting,
+SURVEY.md 2b; includes the reference's data_split-aware evaluator —
+track_mjx/agent/mlp_ppo/ppo.py:83-124 monkey-patch, built in here)."""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Sequence, Tuple
+
+import jax
+import numpy as np
+from flax import struct
+from jax import numpy as jp
+
+from track_mjx_tpu.agent import types
+from track_mjx_tpu.envs.base import Env, State, Wrapper
+
+
+def actor_step(
+    env: Env,
+    env_state: State,
+    policy: types.Policy,
+    key: types.PRNGKey,
+    extra_fields: Sequence[str] = (),
+) -> Tuple[State, types.Transition]:
+    """One policy+env step, emitting a Transition."""
+    actions, policy_extras = policy(env_state.obs, key)
+    nstate = env.step(env_state, actions)
+    state_extras = {x: nstate.info[x] for x in extra_fields}
+    return nstate, types.Transition(
+        observation=env_state.obs,
+        action=actions,
+        reward=nstate.reward,
+        discount=1 - nstate.done,
+        next_observation=nstate.obs,
+        extras={"policy_extras": policy_extras, "state_extras": state_extras},
+    )
+
+
+def generate_unroll(
+    env: Env,
+    env_state: State,
+    policy: types.Policy,
+    key: types.PRNGKey,
+    unroll_length: int,
+    extra_fields: Sequence[str] = (),
+) -> Tuple[State, types.Transition]:
+    """Collects [unroll_length] transitions under lax.scan."""
+
+    def f(carry, unused_t):
+        state, current_key = carry
+        current_key, next_key = jax.random.split(current_key)
+        nstate, transition = actor_step(
+            env, state, policy, current_key, extra_fields=extra_fields
+        )
+        return (nstate, next_key), transition
+
+    (final_state, _), data = jax.lax.scan(
+        f, (env_state, key), (), length=unroll_length
+    )
+    return final_state, data
+
+
+@struct.dataclass
+class EvalMetrics:
+    """Episode-accumulated eval metrics (brax EvalWrapper parity)."""
+
+    episode_metrics: dict
+    active_episodes: jax.Array
+    episode_steps: jax.Array
+
+
+class EvalWrapper(Wrapper):
+    """Accumulates per-episode metrics during eval unrolls."""
+
+    def reset(self, rng: jax.Array) -> State:
+        reset_state = self.env.reset(rng)
+        reset_state.metrics["reward"] = reset_state.reward
+        eval_metrics = EvalMetrics(
+            episode_metrics=jax.tree.map(jp.zeros_like, reset_state.metrics),
+            active_episodes=jp.ones_like(reset_state.reward),
+            episode_steps=jp.zeros_like(reset_state.reward),
+        )
+        reset_state.info["eval_metrics"] = eval_metrics
+        return reset_state
+
+    def step(self, state: State, action: jax.Array) -> State:
+        state_metrics = state.info["eval_metrics"]
+        if not isinstance(state_metrics, EvalMetrics):
+            raise ValueError(f"Incorrect type for state_metrics: {type(state_metrics)}")
+        del state.info["eval_metrics"]
+        nstate = self.env.step(state, action)
+        nstate.metrics["reward"] = nstate.reward
+        episode_steps = jp.where(
+            state_metrics.active_episodes,
+            nstate.info["steps"],
+            state_metrics.episode_steps,
+        )
+        episode_metrics = jax.tree.map(
+            lambda a, b: a + b * state_metrics.active_episodes,
+            state_metrics.episode_metrics,
+            nstate.metrics,
+        )
+        active_episodes = state_metrics.active_episodes * (1 - nstate.done)
+        eval_metrics = EvalMetrics(
+            episode_metrics=episode_metrics,
+            active_episodes=active_episodes,
+            episode_steps=episode_steps,
+        )
+        nstate.info["eval_metrics"] = eval_metrics
+        return nstate
+
+
+class Evaluator:
+    """Deterministic-policy evaluator with data-split metric prefixes."""
+
+    def __init__(
+        self,
+        eval_env: Env,
+        eval_policy_fn: Callable[[types.PolicyParams], types.Policy],
+        num_eval_envs: int,
+        episode_length: int,
+        action_repeat: int,
+        key: types.PRNGKey,
+    ):
+        self._key = key
+        self._eval_walltime = 0.0
+
+        eval_env = EvalWrapper(eval_env)
+
+        def generate_eval_unroll(
+            policy_params: types.PolicyParams, key: types.PRNGKey
+        ) -> State:
+            reset_keys = jax.random.split(key, num_eval_envs)
+            eval_first_state = eval_env.reset(reset_keys)
+            return generate_unroll(
+                eval_env,
+                eval_first_state,
+                eval_policy_fn(policy_params),
+                key,
+                unroll_length=episode_length // action_repeat,
+            )[0]
+
+        self._generate_eval_unroll = jax.jit(generate_eval_unroll)
+        self._steps_per_unroll = episode_length * num_eval_envs
+
+    def run_evaluation(
+        self,
+        policy_params: types.PolicyParams,
+        training_metrics: types.Metrics,
+        aggregate_episodes: bool = True,
+        data_split: str = "",
+    ) -> types.Metrics:
+        """Runs one eval epoch; metric keys get 'eval/{data_split}/' prefixes
+        (reference run_evaluation parity, mlp_ppo/ppo.py:83-120)."""
+        self._key, unroll_key = jax.random.split(self._key)
+        t = time.time()
+        eval_state = self._generate_eval_unroll(policy_params, unroll_key)
+        eval_metrics = eval_state.info["eval_metrics"]
+        eval_metrics.active_episodes.block_until_ready()
+        epoch_eval_time = time.time() - t
+        metrics = {}
+        prefix = f"{data_split}/" if data_split != "" else ""
+        for fn in [np.mean, np.std]:
+            suffix = "_std" if fn == np.std else ""
+            metrics.update(
+                {
+                    f"eval/{prefix}episode_{name}{suffix}": (
+                        fn(value) if aggregate_episodes else value
+                    )
+                    for name, value in eval_metrics.episode_metrics.items()
+                }
+            )
+        metrics[f"eval/{prefix}avg_episode_length"] = np.mean(
+            eval_metrics.episode_steps
+        )
+        metrics[f"eval/{prefix}epoch_eval_time"] = epoch_eval_time
+        metrics[f"eval/{prefix}sps"] = self._steps_per_unroll / epoch_eval_time
+        self._eval_walltime = self._eval_walltime + epoch_eval_time
+        metrics = {
+            f"eval/{prefix}walltime": self._eval_walltime,
+            **training_metrics,
+            **metrics,
+        }
+        return metrics

@@ -1,0 +1,128 @@
+"""Action distributions: tanh-squashed diagonal Normal.
+
+TPU-native replacement for brax.training.distribution's
+NormalTanhDistribution (SURVEY.md section 2b; consumed by the reference at
+track_mjx/agent/mlp_ppo/ppo_networks.py:168). Semantics match brax exactly:
+param_size = 2 * event_size, scale = softplus(raw) * var_scale + min_std,
+tanh postprocessing with the softplus-form log-det-jacobian, and
+sample-estimated entropy.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+class NormalDistribution:
+    """Diagonal Gaussian."""
+
+    def __init__(self, loc, scale):
+        self.loc = loc
+        self.scale = scale
+
+    def sample(self, seed):
+        return jax.random.normal(seed, shape=self.loc.shape) * self.scale + self.loc
+
+    def mode(self):
+        return self.loc
+
+    def log_prob(self, x):
+        log_unnormalized = -0.5 * jnp.square(x / self.scale - self.loc / self.scale)
+        log_normalization = 0.5 * jnp.log(2.0 * jnp.pi) + jnp.log(self.scale)
+        return log_unnormalized - log_normalization
+
+    def entropy(self):
+        log_normalization = 0.5 * jnp.log(2.0 * jnp.pi) + jnp.log(self.scale)
+        entropy = 0.5 + log_normalization
+        return entropy * jnp.ones_like(self.loc)
+
+
+class TanhBijector:
+    """Tanh squashing bijector."""
+
+    def forward(self, x):
+        return jnp.tanh(x)
+
+    def inverse(self, y):
+        return jnp.arctanh(y)
+
+    def forward_log_det_jacobian(self, x):
+        # log|d tanh(x)/dx| in the numerically-stable softplus form
+        return 2.0 * (jnp.log(2.0) - x - jax.nn.softplus(-2.0 * x))
+
+
+class ParametricDistribution:
+    """Distribution over a parameter vector, with postprocessing."""
+
+    def __init__(self, param_size, postprocessor, event_ndims, reparametrizable):
+        self._param_size = param_size
+        self._postprocessor = postprocessor
+        self._event_ndims = event_ndims
+        self._reparametrizable = reparametrizable
+        assert event_ndims in (0, 1)
+
+    def create_dist(self, parameters):
+        raise NotImplementedError
+
+    @property
+    def param_size(self):
+        return self._param_size
+
+    @property
+    def reparametrizable(self):
+        return self._reparametrizable
+
+    def postprocess(self, event):
+        return self._postprocessor.forward(event)
+
+    def inverse_postprocess(self, event):
+        return self._postprocessor.inverse(event)
+
+    def sample_no_postprocessing(self, parameters, seed):
+        return self.create_dist(parameters).sample(seed=seed)
+
+    def sample(self, parameters, seed):
+        return self.postprocess(self.sample_no_postprocessing(parameters, seed))
+
+    def mode(self, parameters):
+        return self.postprocess(self.create_dist(parameters).mode())
+
+    def log_prob(self, parameters, actions):
+        """Log probability of raw (pre-tanh) actions."""
+        dist = self.create_dist(parameters)
+        log_probs = dist.log_prob(actions)
+        log_probs -= self._postprocessor.forward_log_det_jacobian(actions)
+        if self._event_ndims == 1:
+            log_probs = jnp.sum(log_probs, axis=-1)
+        return log_probs
+
+    def entropy(self, parameters, seed):
+        """Sample-estimated entropy of the squashed distribution."""
+        dist = self.create_dist(parameters)
+        entropy = dist.entropy()
+        entropy += self._postprocessor.forward_log_det_jacobian(
+            dist.sample(seed=seed)
+        )
+        if self._event_ndims == 1:
+            entropy = jnp.sum(entropy, axis=-1)
+        return entropy
+
+
+class NormalTanhDistribution(ParametricDistribution):
+    """Normal followed by tanh (brax parity)."""
+
+    def __init__(self, event_size, min_std=0.001, var_scale=1.0):
+        super().__init__(
+            param_size=2 * event_size,
+            postprocessor=TanhBijector(),
+            event_ndims=1,
+            reparametrizable=True,
+        )
+        self._min_std = min_std
+        self._var_scale = var_scale
+
+    def create_dist(self, parameters):
+        loc, scale = jnp.split(parameters, 2, axis=-1)
+        scale = (jax.nn.softplus(scale) + self._min_std) * self._var_scale
+        return NormalDistribution(loc=loc, scale=scale)

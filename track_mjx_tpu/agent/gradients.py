@@ -1,0 +1,50 @@
+"""Gradient update helper (replaces brax.training.gradients, SURVEY.md 2b).
+
+Under the pjit/global-array trainer, cross-device gradient averaging is
+implicit (params replicated, batch sharded -> XLA inserts the all-reduce), so
+`axis_name` is optional and only used for explicit shard_map/pmap paths.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import optax
+
+
+def loss_and_pgrad(
+    loss_fn: Callable, pmap_axis_name: Optional[str], has_aux: bool = False
+):
+    g = jax.value_and_grad(loss_fn, has_aux=has_aux)
+
+    def h(*args, **kwargs):
+        value, grad = g(*args, **kwargs)
+        if pmap_axis_name is not None:
+            grad = jax.lax.pmean(grad, axis_name=pmap_axis_name)
+        return value, grad
+
+    return g if pmap_axis_name is None else h
+
+
+def gradient_update_fn(
+    loss_fn: Callable,
+    optimizer: optax.GradientTransformation,
+    pmap_axis_name: Optional[str],
+    has_aux: bool = False,
+):
+    """Returns f(*args, optimizer_state) -> (loss, new_params, new_opt_state);
+    params must be the first argument of loss_fn."""
+    loss_and_pgrad_fn = loss_and_pgrad(
+        loss_fn, pmap_axis_name=pmap_axis_name, has_aux=has_aux
+    )
+
+    def f(*args, optimizer_state):
+        value, grads = loss_and_pgrad_fn(*args)
+        params_update, optimizer_state = optimizer.update(
+            grads, optimizer_state, params=args[0]
+        )
+        params = optax.apply_updates(args[0], params_update)
+        return value, params, optimizer_state
+
+    return f

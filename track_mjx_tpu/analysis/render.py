@@ -1,0 +1,254 @@
+"""Offline rendering: ghost-pair models, rollout videos, PCA intention viz.
+
+Behavioral parity with track_mjx/analysis/render.py:
+- ``make_ghost_pair`` (:83-119): MjSpec copy, translucent recolor, attach as a
+  frame -> combined model;
+- ``make_rollout_renderer`` (:122-179): per-walker base XML map, root-body
+  names, CG solver setup, 512x512 mujoco.Renderer;
+- ``render_rollout`` (:182-240): frames from saved qposes, realtime fps =
+  (1/timestep)/physics_steps_per_control_step;
+- ``plot_pca_intention_video``: PCA-of-intention progression video (:243-372,
+  with the reference's undefined-`pca_embedded` bug fixed);
+- ``display_video`` HTML helper (:375-405).
+
+Framework difference: mujoco.Renderer needs a GL backend; when none is
+available (headless TPU hosts without osmesa/EGL), renderer construction
+returns None and callers degrade to metrics-only logging.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import mujoco
+import numpy as np
+
+from track_mjx_tpu.envs.walker.base import DEFAULT_ASSET_ROOT
+from track_mjx_tpu.envs.walker.spec_utils import recolour_tree
+
+_BASE_XML_PATHS = {
+    "rodent": str(Path(DEFAULT_ASSET_ROOT) / "rodent/rodent.xml"),
+    "fly": str(Path(DEFAULT_ASSET_ROOT) / "fruitfly/fruitfly_force_fast.xml"),
+    "stick": str(Path(DEFAULT_ASSET_ROOT) / "stick/sungaya_inexpectata_box.xml"),
+}
+
+_ROOT_BODY_NAMES = {
+    "rodent": "walker",
+    "fly": "thorax",
+    "stick": "reference_base",
+}
+
+
+def _scale_body_tree(body, s: float) -> None:
+    """Recursively scales pos/size/fromto on a body subtree (render-side
+    variant that also scales sites/joints, matching the reference's
+    _scale_body_tree used by its renderer path)."""
+    if body.pos is not None:
+        body.pos = body.pos * s
+    for geom in body.geoms:
+        if geom.pos is not None:
+            geom.pos = geom.pos * s
+        geom.size = geom.size * s
+        geom.fromto = geom.fromto * s
+    for site in body.sites:
+        if site.pos is not None:
+            site.pos = site.pos * s
+        site.size = site.size * s
+    for joint in body.joints:
+        if joint.pos is not None:
+            joint.pos = joint.pos * s
+    for child in body.bodies:
+        _scale_body_tree(child, s)
+
+
+def make_ghost_pair(
+    xml_path: str, *, scale: float = 1.0, root_body_name: str = "root"
+) -> Tuple[mujoco.MjSpec, mujoco.MjModel, str]:
+    """Builds a combined model: the walker plus a translucent ghost copy."""
+    base = mujoco.MjSpec.from_file(xml_path)
+    for top in base.worldbody.bodies:
+        _scale_body_tree(top, scale)
+
+    ghost = base.copy()
+    for top in ghost.worldbody.bodies:
+        recolour_tree(top, rgba=[0.8, 0.8, 0.8, 0.2])
+
+    frame = base.worldbody.add_frame(pos=[-0.2, 0, 0.0], quat=[0, 0, 0, 0])
+    frame.attach_body(ghost.body(root_body_name), "", "ghost")
+
+    model = base.compile()
+    xml = base.to_xml()
+    return base, model, xml
+
+
+def gl_available() -> bool:
+    """True when a MuJoCo-usable GL context can be created."""
+    try:
+        m = mujoco.MjModel.from_xml_string(
+            "<mujoco><worldbody><geom type='sphere' size='0.1'/></worldbody></mujoco>"
+        )
+        r = mujoco.Renderer(m, 16, 16)
+        r.close()
+        return True
+    except Exception:
+        return False
+
+
+def make_rollout_renderer(
+    cfg: Any, render_ghost: bool = True
+) -> Tuple[
+    Optional[mujoco.Renderer], mujoco.MjModel, mujoco.MjData, mujoco.MjvOption
+]:
+    """Creates (renderer | None, model, data, scene options) for rollouts."""
+    walker_name = cfg["env_config"]["walker_name"]
+    if walker_name not in _BASE_XML_PATHS:
+        raise ValueError(f"Unknown walker_name: {walker_name}")
+    xml_path = _BASE_XML_PATHS[walker_name]
+    rescale_factor = cfg["walker_config"]["rescale_factor"]
+    if render_ghost:
+        _, mj_model, _ = make_ghost_pair(
+            xml_path,
+            scale=rescale_factor,
+            root_body_name=_ROOT_BODY_NAMES[walker_name],
+        )
+    else:
+        base = mujoco.MjSpec.from_file(xml_path)
+        for top in base.worldbody.bodies:
+            _scale_body_tree(top, rescale_factor)
+        mj_model = base.compile()
+
+    mj_model.opt.solver = mujoco.mjtSolver.mjSOL_CG
+    mj_model.opt.iterations = 6
+    mj_model.opt.ls_iterations = 6
+    mj_data = mujoco.MjData(mj_model)
+
+    site_ids = [
+        mj_model.site(i).id
+        for i in range(mj_model.nsite)
+        if "-0" in mj_model.site(i).name
+    ]
+    for sid in site_ids:
+        mj_model.site(sid).rgba = [1, 0, 0, 1]
+
+    scene_option = mujoco.MjvOption()
+    scene_option.sitegroup[:] = [1, 1, 1, 1, 1, 0]
+
+    mujoco.mj_kinematics(mj_model, mj_data)
+    renderer = None
+    if gl_available():
+        renderer = mujoco.Renderer(mj_model, height=512, width=512)
+    else:
+        logging.warning(
+            "No GL backend available; renderer disabled (videos skipped)."
+        )
+    return renderer, mj_model, mj_data, scene_option
+
+
+def render_rollout(
+    cfg: Any,
+    rollout: Dict[str, Any],
+    height: int = 480,
+    width: int = 640,
+    render_ghost: bool = True,
+) -> Tuple[List[np.ndarray], float]:
+    """Renders frames from saved qposes (rollout ++ ghost reference)."""
+    qroll = rollout["qposes_rollout"]
+    if not render_ghost:
+        qpos_list = qroll
+    else:
+        qref = rollout["qposes_ref"]
+        qpos_list = [np.concatenate((qp, qr)) for qp, qr in zip(qroll, qref)]
+
+    renderer, mj_model, mj_data, scene_option = make_rollout_renderer(
+        cfg, render_ghost=render_ghost
+    )
+    render_fps = (
+        1.0 / mj_model.opt.timestep
+    ) / cfg["env_config"]["env_args"]["physics_steps_per_control_step"]
+    if cfg["env_config"].get("render_fps") is not None:
+        render_fps = cfg["env_config"]["render_fps"]
+
+    if renderer is None:
+        raise RuntimeError("No GL backend available for rendering")
+
+    mujoco.mj_kinematics(mj_model, mj_data)
+    renderer = mujoco.Renderer(mj_model, height=height, width=width)
+
+    frames = []
+    for qpos in qpos_list:
+        mj_data.qpos = qpos
+        mujoco.mj_forward(mj_model, mj_data)
+        renderer.update_scene(
+            mj_data,
+            camera=cfg["env_config"]["render_camera_name"],
+            scene_option=scene_option,
+        )
+        frames.append(renderer.render())
+    return frames, render_fps
+
+
+def plot_pca_intention_video(
+    intentions: np.ndarray,
+    out_path: str,
+    fps: int = 25,
+    n_components: int = 2,
+    trail: int = 50,
+) -> str:
+    """Writes a video of the PCA-projected intention trajectory progressing
+    through time (reference :243-372, simplified and with its undefined
+    `pca_embedded` bug fixed — the fitted embedding is computed once here)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import imageio
+    import matplotlib.pyplot as plt
+    from sklearn.decomposition import PCA
+
+    intentions = np.asarray(intentions)
+    pca = PCA(n_components=n_components)
+    embedded = pca.fit_transform(intentions)
+
+    frames = []
+    fig, ax = plt.subplots(figsize=(5, 5))
+    for t in range(len(embedded)):
+        ax.clear()
+        lo = max(0, t - trail)
+        ax.plot(embedded[: t + 1, 0], embedded[: t + 1, 1], alpha=0.3, lw=0.5)
+        ax.plot(embedded[lo : t + 1, 0], embedded[lo : t + 1, 1], lw=1.5)
+        ax.scatter(embedded[t, 0], embedded[t, 1], c="r", s=20)
+        ax.set_xlim(embedded[:, 0].min() - 0.5, embedded[:, 0].max() + 0.5)
+        ax.set_ylim(embedded[:, 1].min() - 0.5, embedded[:, 1].max() + 0.5)
+        ax.set_title(f"intention PCA (t={t})")
+        fig.canvas.draw()
+        buf = np.asarray(fig.canvas.buffer_rgba())[..., :3]
+        frames.append(buf.copy())
+    plt.close(fig)
+    imageio.mimsave(out_path, frames, fps=fps)
+    return out_path
+
+
+def display_video(frames: List[np.ndarray], fps: int = 30):
+    """Renders frames as inline HTML video (notebook helper)."""
+    import base64
+    import tempfile
+
+    import imageio
+
+    with tempfile.NamedTemporaryFile(suffix=".mp4", delete=False) as f:
+        path = f.name
+    imageio.mimsave(path, frames, fps=fps)
+    with open(path, "rb") as f:
+        data = base64.b64encode(f.read()).decode()
+    os.unlink(path)
+    try:
+        from IPython.display import HTML
+
+        return HTML(
+            f'<video controls autoplay loop src="data:video/mp4;base64,{data}">'
+            "</video>"
+        )
+    except ImportError:
+        return data

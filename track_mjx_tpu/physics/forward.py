@@ -1,0 +1,163 @@
+"""Forward dynamics pipeline and Euler step (mj_forward / mj_step parity).
+
+Single-env functions; vectorize with jax.vmap over a batch of Data and run the
+whole epoch under one jit. Reference reaches the equivalent functionality via
+brax's PipelineEnv pipeline_init/pipeline_step over mjx (reference:
+track_mjx/environment/task/single_clip_tracking.py:163,219).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from track_mjx_tpu.ops import quaternion as quat
+from track_mjx_tpu.physics import actuation as _actuation
+from track_mjx_tpu.physics import collision as _collision
+from track_mjx_tpu.physics import com as _com
+from track_mjx_tpu.physics import constraint as _constraint
+from track_mjx_tpu.physics import inertia as _inertia
+from track_mjx_tpu.physics import kinematics as _kinematics
+from track_mjx_tpu.physics import passive as _passive
+from track_mjx_tpu.physics import rne as _rne
+from track_mjx_tpu.physics import sensors as _sensors
+from track_mjx_tpu.physics import solver as _solver
+from track_mjx_tpu.physics.model import (
+    Data,
+    Model,
+    PhysicsPlan,
+    DYN_FILTEREXACT,
+    JNT_BALL,
+    JNT_FREE,
+    JNT_HINGE,
+    JNT_SLIDE,
+)
+
+
+def fwd_position(plan: PhysicsPlan, model: Model, data: Data):
+    data = _kinematics.kinematics(plan, model, data)
+    data = _com.com_pos(plan, model, data)
+    data = _actuation.tendon(plan, model, data)
+    data = _inertia.crb(plan, model, data)
+    data = _inertia.factor_m(plan, model, data)
+    data, contact = _collision.collide(plan, model, data)
+    efc = _constraint.make_constraint(plan, model, data, contact)
+    return data, efc
+
+
+def fwd_velocity(plan: PhysicsPlan, model: Model, data: Data) -> Data:
+    data = _com.com_vel(plan, model, data)
+    data = _passive.passive(plan, model, data)
+    data = _rne.rne(plan, model, data)
+    return data
+
+
+def fwd_actuation(plan: PhysicsPlan, model: Model, data: Data) -> Data:
+    return _actuation.actuation(plan, model, data)
+
+
+def fwd_acceleration(plan: PhysicsPlan, model: Model, data: Data) -> Data:
+    qfrc_smooth = data.qfrc_passive - data.qfrc_bias + data.qfrc_actuator
+    qacc_smooth = _inertia.solve_m(data, qfrc_smooth)
+    return data.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth)
+
+
+def forward(plan: PhysicsPlan, model: Model, data: Data) -> Data:
+    """Full forward dynamics: qpos/qvel/ctrl/act -> qacc and all stages."""
+    data, efc = fwd_position(plan, model, data)
+    data = fwd_velocity(plan, model, data)
+    data = fwd_actuation(plan, model, data)
+    data = fwd_acceleration(plan, model, data)
+    data = _solver.solve(plan, model, data, efc)
+    data = _sensors.sensor(plan, model, data)
+    return data
+
+
+def _integrate_pos(
+    plan: PhysicsPlan, model: Model, qpos: jax.Array, qvel: jax.Array, dt
+) -> jax.Array:
+    """mj_integratePos: joint-type-aware position integration."""
+    out = qpos
+    scalar = np.nonzero(
+        (plan.jnt_type == JNT_HINGE) | (plan.jnt_type == JNT_SLIDE)
+    )[0]
+    if len(scalar):
+        qadr = plan.jnt_qposadr[scalar]
+        dadr = plan.jnt_dofadr[scalar]
+        out = out.at[qadr].set(qpos[qadr] + dt * qvel[dadr])
+    for j in np.nonzero(plan.jnt_type == JNT_FREE)[0]:
+        qadr, dadr = int(plan.jnt_qposadr[j]), int(plan.jnt_dofadr[j])
+        out = out.at[qadr : qadr + 3].set(
+            qpos[qadr : qadr + 3] + dt * qvel[dadr : dadr + 3]
+        )
+        new_quat = quat.integrate(
+            qpos[qadr + 3 : qadr + 7], qvel[dadr + 3 : dadr + 6], dt
+        )
+        out = out.at[qadr + 3 : qadr + 7].set(new_quat)
+    for j in np.nonzero(plan.jnt_type == JNT_BALL)[0]:
+        qadr, dadr = int(plan.jnt_qposadr[j]), int(plan.jnt_dofadr[j])
+        new_quat = quat.integrate(
+            qpos[qadr : qadr + 4], qvel[dadr : dadr + 3], dt
+        )
+        out = out.at[qadr : qadr + 4].set(new_quat)
+    return out
+
+
+def _advance_act(plan: PhysicsPlan, model: Model, data: Data, dt) -> jax.Array:
+    if plan.na == 0:
+        return data.act
+    act = data.act + dt * data.act_dot
+    # exact filter integration where requested
+    exact = jnp.asarray(plan.actuator_dyntype == DYN_FILTEREXACT)
+    tau = jnp.maximum(model.actuator_dynprm[:, 0], 1e-10)
+    ctrl = data.ctrl
+    act_exact = ctrl + (data.act - ctrl) * jnp.exp(-dt / tau)
+    act = jnp.where(exact, act_exact, act)
+    limited = model.actuator_actlimited > 0
+    act = jnp.where(
+        limited,
+        jnp.clip(act, model.actuator_actrange[:, 0], model.actuator_actrange[:, 1]),
+        act,
+    )
+    return act
+
+
+def euler(plan: PhysicsPlan, model: Model, data: Data) -> Data:
+    """Semi-implicit Euler with implicit joint damping (mj_Euler parity)."""
+    dt = model.opt_timestep
+    # implicit damping: qvel_new = qvel + h * (M + h D)^-1 qfrc_total
+    # (C uses the raw force, not M @ qacc — they differ when the CG solve is
+    # inexact, and matching C here is what keeps trajectories aligned)
+    mh = data.qM + dt * jnp.diag(model.dof_damping)
+    lh = jnp.linalg.cholesky(mh)
+    rhs = data.qfrc_smooth + data.qfrc_constraint
+    y = jax.scipy.linalg.solve_triangular(lh, rhs, lower=True)
+    qacc_eff = jax.scipy.linalg.solve_triangular(lh.T, y, lower=False)
+
+    act = _advance_act(plan, model, data, dt)
+    qvel = data.qvel + dt * qacc_eff
+    qpos = _integrate_pos(plan, model, data.qpos, qvel, dt)
+    return data.replace(
+        qpos=qpos,
+        qvel=qvel,
+        act=act,
+        time=data.time + dt,
+        qacc_warmstart=data.qacc,
+    )
+
+
+def step(plan: PhysicsPlan, model: Model, data: Data) -> Data:
+    """One physics step: forward dynamics + Euler integration."""
+    data = forward(plan, model, data)
+    return euler(plan, model, data)
+
+
+def n_step(plan: PhysicsPlan, model: Model, data: Data, n: int) -> Data:
+    """n physics substeps under lax.scan (pipeline_step's inner loop)."""
+
+    def body(d, _):
+        return step(plan, model, d), None
+
+    data, _ = jax.lax.scan(body, data, None, length=n)
+    return data

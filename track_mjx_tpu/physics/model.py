@@ -193,6 +193,7 @@ class Data:
     ctrl: jax.Array
     qacc: jax.Array
     qacc_smooth: jax.Array
+    qacc_warmstart: jax.Array
     # kinematics
     xpos: jax.Array
     xquat: jax.Array
@@ -535,6 +536,7 @@ def make_data(plan: PhysicsPlan, model: Model) -> Data:
         ctrl=z(plan.nu),
         qacc=z(nv),
         qacc_smooth=z(nv),
+        qacc_warmstart=z(nv),
         xpos=z(nbody, 3),
         xquat=unit_quat,
         xmat=eye3,
