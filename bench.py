@@ -1,0 +1,320 @@
+"""Benchmark: rodent motion-capture tracking throughput on the local device.
+
+Measures the reference's headline metric definitions (BASELINE.md):
+- training/sps: env-steps/s through the FULL PPO training step
+  (rollout + normalizer update + minibatched SGD), reference definition
+  track_mjx/agent/mlp_ppo/ppo.py:427-435;
+- rollout env-steps/s (physics + obs/reward only) as a supplementary metric.
+
+Prints ONE JSON line to stdout:
+    {"metric": "training_sps", "value": N, "unit": "env_steps/s",
+     "vs_baseline": R}
+with supplementary detail on stderr. The baseline divisor comes from
+bench_baseline.json (self-recorded; the reference publishes no numbers —
+BASELINE.md) and defaults to the round-1 figure.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+# Allow the ambient platform (TPU via plugin, or CPU fallback)
+os.environ.setdefault("XLA_PYTHON_CLIENT_PREALLOCATE", "false")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_env(num_clips: int, clip_length: int):
+    from track_mjx_tpu.envs.task.reward import RewardConfig
+    from track_mjx_tpu.envs.task.tracking import MultiClipTracking
+    from track_mjx_tpu.envs.walker.rodent import Rodent
+    from track_mjx_tpu.io.synthetic import synthesize_clips
+    from track_mjx_tpu.utils.config import load_config
+
+    cfg = load_config("rodent-full-clips")
+    walker = Rodent(
+        joint_names=cfg.walker_config.joint_names,
+        body_names=cfg.walker_config.body_names,
+        end_eff_names=cfg.walker_config.end_eff_names,
+        torque_actuators=cfg.walker_config.torque_actuators,
+        rescale_factor=cfg.walker_config.rescale_factor,
+    )
+    clips = synthesize_clips(
+        walker._mj_model,
+        n_clips=num_clips,
+        n_frames=clip_length,
+        mocap_hz=cfg.env_config.env_args.mocap_hz,
+    )
+    rewards = dict(cfg.env_config.reward_weights)
+    rewards["healthy_z_range"] = tuple(rewards["healthy_z_range"])
+    env = MultiClipTracking(
+        reference_clip=clips,
+        walker=walker,
+        reward_config=RewardConfig(**rewards),
+        **dict(cfg.env_config.env_args),
+        **dict(cfg.reference_config),
+    )
+    return env, cfg
+
+
+def bench_rollout(env, num_envs: int, steps: int):
+    """Pure env throughput: batched random-action rollout under one jit."""
+    from track_mjx_tpu.envs import wrappers
+
+    wrapped = wrappers.wrap(
+        env, episode_length=200, action_repeat=1, use_lstm=False
+    )
+    reset_fn = jax.jit(wrapped.reset)
+    keys = jax.random.split(jax.random.PRNGKey(0), num_envs)
+    state = reset_fn(keys)
+
+    @jax.jit
+    def run(state, key):
+        def body(carry, _):
+            st, k = carry
+            k, ak = jax.random.split(k)
+            action = jax.random.uniform(
+                ak, (num_envs, env.action_size), minval=-1.0, maxval=1.0
+            )
+            st = wrapped.step(st, action)
+            return (st, k), st.reward
+
+        (state, _), rewards = jax.lax.scan(
+            body, (state, key), None, length=steps
+        )
+        return state, rewards
+
+    t0 = time.time()
+    state2, rewards = run(state, jax.random.PRNGKey(1))
+    jax.block_until_ready(rewards)
+    compile_time = time.time() - t0
+    log(f"rollout compile+first run: {compile_time:.1f}s")
+
+    t0 = time.time()
+    state2, rewards = run(state2, jax.random.PRNGKey(2))
+    jax.block_until_ready(rewards)
+    dt = time.time() - t0
+    sps = num_envs * steps / dt
+    log(f"rollout: {num_envs} envs x {steps} steps in {dt:.2f}s -> {sps:,.0f} env-steps/s")
+    return sps
+
+
+def bench_training_step(
+    env,
+    num_envs: int,
+    batch_size: int,
+    num_minibatches: int,
+    unroll_length: int,
+    updates_per_batch: int,
+    reps: int = 2,
+):
+    """training/sps through the full PPO training step."""
+    from track_mjx_tpu.agent import acting, gradients, running_statistics
+    from track_mjx_tpu.agent.mlp_ppo import losses, ppo_networks
+    from track_mjx_tpu.envs import wrappers
+    from track_mjx_tpu.parallel import mesh as mesh_lib
+
+    import optax
+
+    mesh = mesh_lib.create_mesh()
+    wrapped = wrappers.wrap(env, episode_length=195, action_repeat=1, use_lstm=False)
+    reset_fn = jax.jit(wrapped.reset)
+    keys = mesh_lib.shard_batch(
+        jax.random.split(jax.random.PRNGKey(0), num_envs), mesh
+    )
+    env_state = reset_fn(keys)
+    obs_size = env_state.obs.shape[-1]
+    ref_obs_size = int(np.asarray(env_state.info["reference_obs_size"])[0])
+
+    net = ppo_networks.make_intention_ppo_networks(
+        obs_size,
+        ref_obs_size,
+        env.action_size,
+        preprocess_observations_fn=running_statistics.normalize,
+        intention_latent_size=60,
+        encoder_hidden_layer_sizes=(1024, 512, 512, 512, 512),
+        decoder_hidden_layer_sizes=(512, 512, 512, 256, 256),
+        value_hidden_layer_sizes=(512, 512, 512, 512, 512, 256),
+    )
+    make_policy = ppo_networks.make_inference_fn(net)
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(10.0), optax.adam(1e-4)
+    )
+    loss_fn = functools.partial(
+        losses.compute_ppo_loss,
+        ppo_network=net,
+        entropy_cost=1e-2,
+        kl_weight=1e-1,
+        discounting=0.98,
+        reward_scaling=1.0,
+        gae_lambda=0.95,
+        clipping_epsilon=0.2,
+        normalize_advantage=True,
+    )
+    grad_fn = gradients.gradient_update_fn(
+        loss_fn, optimizer, pmap_axis_name=None, has_aux=True
+    )
+
+    key = jax.random.PRNGKey(0)
+    params = losses.PPONetworkParams(
+        policy=net.policy_network.init(key),
+        value=net.value_network.init(jax.random.PRNGKey(1)),
+    )
+    opt_state = optimizer.init(params)
+    norm_params = running_statistics.init_state(
+        jax.ShapeDtypeStruct((obs_size,), jnp.float32)
+    )
+    params = mesh_lib.replicate(params, mesh)
+    opt_state = mesh_lib.replicate(opt_state, mesh)
+    norm_params = mesh_lib.replicate(norm_params, mesh)
+
+    def training_step(carry, _):
+        params, opt_state, norm_params, state, key = carry
+        key_sgd, key_unroll, new_key = jax.random.split(key, 3)
+        policy = make_policy((norm_params, params.policy))
+
+        def rollout(carry, _):
+            st, k = carry
+            k, nk = jax.random.split(k)
+            nst, data = acting.generate_unroll(
+                wrapped, st, policy, k, unroll_length,
+                extra_fields=("truncation",),
+            )
+            return (nst, nk), data
+
+        (state, _), data = jax.lax.scan(
+            rollout,
+            (state, key_unroll),
+            None,
+            length=batch_size * num_minibatches // num_envs,
+        )
+        data = jax.tree.map(lambda x: jnp.swapaxes(x, 1, 2), data)
+        data = jax.tree.map(lambda x: jnp.reshape(x, (-1,) + x.shape[2:]), data)
+        norm_params = running_statistics.update(norm_params, data.observation)
+
+        def sgd_step(carry, _):
+            params, opt_state, k = carry
+            k, kperm, kgrad = jax.random.split(k, 3)
+
+            def convert(x):
+                x = jax.random.permutation(kperm, x)
+                return jnp.reshape(x, (num_minibatches, -1) + x.shape[1:])
+
+            shuffled = jax.tree.map(convert, data)
+
+            def mb_step(carry, mb):
+                params, opt_state, k = carry
+                k, kl = jax.random.split(k)
+                (_, metrics), params, opt_state = grad_fn(
+                    params, norm_params, mb, kl, 0, optimizer_state=opt_state
+                )
+                return (params, opt_state, k), metrics
+
+            (params, opt_state, _), metrics = jax.lax.scan(
+                mb_step, (params, opt_state, kgrad), shuffled
+            )
+            return (params, opt_state, k), metrics
+
+        (params, opt_state, _), metrics = jax.lax.scan(
+            sgd_step, (params, opt_state, key_sgd), None,
+            length=updates_per_batch,
+        )
+        return (params, opt_state, norm_params, state, new_key), metrics
+
+    @jax.jit
+    def epoch(params, opt_state, norm_params, state, key):
+        (params, opt_state, norm_params, state, _), metrics = jax.lax.scan(
+            training_step, (params, opt_state, norm_params, state, key), None,
+            length=1,
+        )
+        return params, opt_state, norm_params, state, metrics
+
+    env_steps_per = batch_size * num_minibatches * unroll_length
+    t0 = time.time()
+    out = epoch(params, opt_state, norm_params, env_state, jax.random.PRNGKey(7))
+    jax.block_until_ready(out[-1])
+    log(f"training step compile+first run: {time.time() - t0:.1f}s")
+
+    times = []
+    for i in range(reps):
+        t0 = time.time()
+        out = epoch(*out[:4], jax.random.PRNGKey(8 + i))
+        jax.block_until_ready(out[-1])
+        times.append(time.time() - t0)
+    dt = min(times)
+    sps = env_steps_per / dt
+    log(
+        f"training step: {env_steps_per} env-steps in {dt:.2f}s -> "
+        f"{sps:,.0f} env-steps/s (times={['%.2f' % t for t in times]})"
+    )
+    return sps
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--num-envs", type=int, default=1024)
+    p.add_argument("--batch-size", type=int, default=512)
+    p.add_argument("--num-minibatches", type=int, default=4)
+    p.add_argument("--unroll-length", type=int, default=20)
+    p.add_argument("--updates-per-batch", type=int, default=4)
+    p.add_argument("--rollout-steps", type=int, default=50)
+    p.add_argument("--num-clips", type=int, default=4)
+    p.add_argument("--skip-rollout", action="store_true")
+    args = p.parse_args()
+
+    log(f"devices: {jax.devices()}")
+    env, cfg = build_env(args.num_clips, clip_length=250)
+    log(f"rodent env built: nq={env.plan.nq} nv={env.plan.nv} nu={env.plan.nu} "
+        f"ncon={env.plan.ncon} nefc={env.plan.nefc}")
+
+    rollout_sps = None
+    if not args.skip_rollout:
+        rollout_sps = bench_rollout(env, args.num_envs, args.rollout_steps)
+
+    train_sps = bench_training_step(
+        env,
+        args.num_envs,
+        args.batch_size,
+        args.num_minibatches,
+        args.unroll_length,
+        args.updates_per_batch,
+    )
+
+    baseline = None
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "bench_baseline.json")) as f:
+            baseline = json.load(f).get("training_sps")
+    except Exception:
+        pass
+    vs_baseline = (train_sps / baseline) if baseline else 1.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "training_sps",
+                "value": round(train_sps, 1),
+                "unit": "env_steps/s",
+                "vs_baseline": round(vs_baseline, 3),
+                "detail": {
+                    "rollout_sps": round(rollout_sps, 1) if rollout_sps else None,
+                    "num_envs": args.num_envs,
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -4,12 +4,22 @@ validated on a simulated CPU mesh)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the ambient environment may pin JAX_PLATFORMS to a TPU plugin.
+# NOTE: pytest plugins import jax BEFORE this conftest runs, so the env var
+# alone is not enough — jax.config must be updated too (safe because no
+# backend has been initialized yet at collection time).
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax as _jax  # noqa: E402
+
+_jax.config.update("jax_platforms", "cpu")
+assert _jax.devices()[0].platform == "cpu", "tests must run on CPU"
+assert len(_jax.devices()) == 8, "tests expect the 8-device virtual CPU mesh"
 
 # NOTE: do NOT enable the persistent compilation cache here — XLA:CPU AOT
 # reload has a machine-feature mismatch on this host (prefer-no-scatter/

@@ -1,0 +1,180 @@
+"""Tracking-env behavior tests (toy walker for speed): reset/step contracts,
+frame indexing, ring buffer, termination, NaN guard, wrapper semantics."""
+
+import jax
+import jax.numpy as jp
+import numpy as np
+import pytest
+
+from helpers import make_toy_env
+from track_mjx_tpu.envs import wrappers
+
+
+@pytest.fixture(scope="module")
+def toy_env():
+    return make_toy_env()
+
+
+@pytest.fixture(scope="module")
+def reset_state(toy_env):
+    return jax.jit(toy_env.reset)(jax.random.PRNGKey(0))
+
+
+class TestReset:
+    def test_obs_sizes_published(self, toy_env, reset_state):
+        info = reset_state.info
+        assert info["reference_obs_size"] > 0
+        assert info["proprioceptive_obs_size"] > 0
+        assert (
+            reset_state.obs.shape[-1]
+            == info["reference_obs_size"] + info["proprioceptive_obs_size"]
+        )
+
+    def test_metrics_dict(self, reset_state):
+        # the exact 20-key metric contract (reference :176-197)
+        expected = {
+            "pos_reward", "quat_reward", "joint_reward", "angvel_reward",
+            "bodypos_reward", "endeff_reward", "ctrl_cost", "ctrl_diff_cost",
+            "energy_cost", "done", "too_far", "bad_pose", "bad_quat", "fall",
+            "nan", "joint_distance", "summed_pos_distance", "quat_distance",
+            "var_cost", "jerk_cost",
+        }
+        assert set(reset_state.metrics.keys()) == expected
+
+    def test_action_buffer_initialized(self, toy_env, reset_state):
+        buf = reset_state.info["action_buffer"]
+        assert buf.shape == (
+            toy_env._reward_config.var_window_size,
+            toy_env.plan.nu,
+        )
+        assert (np.asarray(buf) == 0).all()
+        assert int(reset_state.info["buffer_index"]) == 0
+
+    def test_reset_near_reference(self, toy_env, reset_state):
+        """qpos should be the reference frame plus <= noise_scale noise."""
+        info = reset_state.info
+        ref = jax.tree.map(
+            lambda x: x[info["start_frame"]],
+            toy_env._get_reference_clip(info),
+        )
+        new_qpos = jp.concatenate([ref.position, ref.quaternion, ref.joints])
+        err = np.abs(np.asarray(reset_state.pipeline_state.qpos - new_qpos))
+        assert err.max() <= toy_env._reset_noise_scale + 1e-6
+
+    def test_multiclip_start_frame_range(self, toy_env):
+        starts, clips = [], []
+        for seed in range(16):
+            s = jax.jit(toy_env.reset)(jax.random.PRNGKey(seed))
+            starts.append(int(s.info["start_frame"]))
+            clips.append(int(s.info["clip_idx"]))
+        # reference hard-codes randint(0, 44) (multi_clip_tracking.py:87)
+        assert min(starts) >= 0 and max(starts) < 44
+        assert set(clips) <= set(range(toy_env._n_clips))
+
+
+class TestStep:
+    def test_step_advances_time_and_frame(self, toy_env, reset_state):
+        step = jax.jit(toy_env.step)
+        state = reset_state
+        f0 = int(toy_env._get_cur_frame(state.info, state.pipeline_state))
+        for _ in range(4):
+            state = step(state, jp.zeros(toy_env.action_size))
+        f1 = int(toy_env._get_cur_frame(state.info, state.pipeline_state))
+        dt = toy_env._mj_model.opt.timestep * toy_env._n_frames
+        assert float(state.pipeline_state.time) == pytest.approx(4 * dt, rel=1e-5)
+        expected_frames = int(np.floor(4 * dt * toy_env._mocap_hz))
+        assert f1 - f0 == expected_frames
+
+    def test_ring_buffer_update(self, toy_env, reset_state):
+        step = jax.jit(toy_env.step)
+        a = jp.ones(toy_env.action_size) * 0.5
+        state = step(reset_state, a)
+        assert int(state.info["buffer_index"]) == 1
+        np.testing.assert_allclose(
+            np.asarray(state.info["action_buffer"][0]), 0.5, rtol=1e-6
+        )
+        assert np.asarray(state.info["prev_ctrl"] == a).all()
+
+    def test_reward_finite_and_metrics_update(self, toy_env, reset_state):
+        step = jax.jit(toy_env.step)
+        state = step(reset_state, jp.zeros(toy_env.action_size))
+        assert np.isfinite(float(state.reward))
+        assert float(state.metrics["pos_reward"]) > 0
+        assert np.isfinite(np.asarray(state.obs)).all()
+
+    def test_total_reward_composition(self, toy_env, reset_state):
+        step = jax.jit(toy_env.step)
+        state = step(reset_state, jp.ones(toy_env.action_size) * 0.3)
+        m = state.metrics
+        total = (
+            m["pos_reward"] + m["quat_reward"] + m["joint_reward"]
+            + m["angvel_reward"] + m["bodypos_reward"] + m["endeff_reward"]
+            + m["ctrl_cost"] + m["ctrl_diff_cost"] + m["energy_cost"]
+            + m["var_cost"] + m["jerk_cost"]
+        )  # costs are stored negated in metrics
+        assert float(total) == pytest.approx(float(state.reward), rel=1e-4)
+
+    def test_nan_guard(self, toy_env, reset_state):
+        """NaN in the pipeline state must force done=1 and sanitize outputs."""
+        bad = reset_state.replace(
+            pipeline_state=reset_state.pipeline_state.replace(
+                qvel=reset_state.pipeline_state.qvel.at[0].set(jp.nan)
+            )
+        )
+        state = jax.jit(toy_env.step)(bad, jp.zeros(toy_env.action_size))
+        assert float(state.done) == 1.0
+        assert float(state.metrics["nan"]) == 1.0
+        assert np.isfinite(np.asarray(state.obs)).all()
+        assert np.isfinite(float(state.reward))
+
+
+class TestWrappers:
+    def test_episode_and_autoreset(self, toy_env):
+        env = wrappers.EpisodeWrapper(toy_env, episode_length=3, action_repeat=1)
+        env = wrappers.VmapWrapper(env)
+        env = wrappers.AutoResetWrapperTracking(env)
+        rng = jax.random.split(jax.random.PRNGKey(1), 4)
+        state = jax.jit(env.reset)(rng)
+        first_qpos = np.asarray(state.pipeline_state.qpos)
+        step = jax.jit(env.step)
+        a = jp.zeros((4, toy_env.action_size))
+        for _ in range(3):
+            state = step(state, a)
+        # after 3 steps all envs truncate -> done, next step swaps in reset state
+        assert np.asarray(state.done).all()
+        state = step(state, a)
+        np.testing.assert_allclose(
+            np.asarray(state.pipeline_state.qpos), first_qpos, rtol=1e-5
+        )
+
+    def test_lstm_autoreset_hidden_shapes(self, toy_env):
+        env = wrappers.EpisodeWrapper(toy_env, episode_length=5, action_repeat=1)
+        env = wrappers.VmapWrapper(env)
+        env = wrappers.LSTMAutoResetWrapperTracking(
+            env, lstm_features=16, hidden_layer_num=2
+        )
+        rng = jax.random.split(jax.random.PRNGKey(2), 3)
+        state = jax.jit(env.reset)(rng)
+        h, c = state.info["hidden_state"]
+        assert h.shape == (3, 2, 16) and c.shape == (3, 2, 16)
+
+    def test_eval_clip_wrapper_no_noise(self, toy_env):
+        env = wrappers.EvalClipWrapperTracking(toy_env)
+        state = jax.jit(env.reset)(jax.random.PRNGKey(3))
+        info = state.info
+        assert int(info["start_frame"]) == 0
+        ref = jax.tree.map(
+            lambda x: x[0], toy_env._get_reference_clip(info)
+        )
+        new_qpos = jp.concatenate([ref.position, ref.quaternion, ref.joints])
+        qvel = np.asarray(state.pipeline_state.qvel)
+        np.testing.assert_allclose(
+            np.asarray(state.pipeline_state.qpos), np.asarray(new_qpos), atol=1e-6
+        )
+        np.testing.assert_allclose(qvel, 0.0, atol=1e-7)
+
+    def test_render_rollout_wrapper(self, toy_env):
+        env = wrappers.RenderRolloutWrapperMulticlipTracking(toy_env)
+        state = jax.jit(env.reset, static_argnums=1)(jax.random.PRNGKey(4), 1)
+        assert int(state.info["clip_idx"]) == 1
+        assert int(state.info["start_frame"]) == 0

@@ -64,13 +64,20 @@ def fwd_acceleration(plan: PhysicsPlan, model: Model, data: Data) -> Data:
 
 
 def forward(plan: PhysicsPlan, model: Model, data: Data) -> Data:
-    """Full forward dynamics: qpos/qvel/ctrl/act -> qacc and all stages."""
-    data, efc = fwd_position(plan, model, data)
-    data = fwd_velocity(plan, model, data)
-    data = fwd_actuation(plan, model, data)
-    data = fwd_acceleration(plan, model, data)
-    data = _solver.solve(plan, model, data, efc)
-    data = _sensors.sensor(plan, model, data)
+    """Full forward dynamics: qpos/qvel/ctrl/act -> qacc and all stages.
+
+    The physics pipeline runs under matmul precision "highest": on TPU the
+    default f32 matmul uses bf16 MXU passes (~1e-3 relative error), which is
+    fine for neural nets but corrupts mass-matrix/constraint solves. The
+    pipeline's matmuls are tiny, so the precision bump costs little.
+    """
+    with jax.default_matmul_precision("highest"):
+        data, efc = fwd_position(plan, model, data)
+        data = fwd_velocity(plan, model, data)
+        data = fwd_actuation(plan, model, data)
+        data = fwd_acceleration(plan, model, data)
+        data = _solver.solve(plan, model, data, efc)
+        data = _sensors.sensor(plan, model, data)
     return data
 
 
@@ -125,6 +132,11 @@ def _advance_act(plan: PhysicsPlan, model: Model, data: Data, dt) -> jax.Array:
 
 def euler(plan: PhysicsPlan, model: Model, data: Data) -> Data:
     """Semi-implicit Euler with implicit joint damping (mj_Euler parity)."""
+    with jax.default_matmul_precision("highest"):
+        return _euler_impl(plan, model, data)
+
+
+def _euler_impl(plan: PhysicsPlan, model: Model, data: Data) -> Data:
     dt = model.opt_timestep
     # implicit damping: qvel_new = qvel + h * (M + h D)^-1 qfrc_total
     # (C uses the raw force, not M @ qacc — they differ when the CG solve is
