@@ -35,6 +35,12 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _strip_weak_type(tree):
+    """Avoid weak-type-driven recompiles between the first and later calls
+    (same trick as the reference trainer, mlp_ppo/ppo.py:73-80)."""
+    return jax.tree.map(lambda x: jnp.asarray(x).astype(jnp.asarray(x).dtype), tree)
+
+
 def build_env(num_clips: int, clip_length: int):
     from track_mjx_tpu.envs.task.reward import RewardConfig
     from track_mjx_tpu.envs.task.tracking import MultiClipTracking
@@ -95,18 +101,26 @@ def bench_rollout(env, num_envs: int, steps: int):
         )
         return state, rewards
 
+    state = _strip_weak_type(state)
     t0 = time.time()
     state2, rewards = run(state, jax.random.PRNGKey(1))
     jax.block_until_ready(rewards)
     compile_time = time.time() - t0
     log(f"rollout compile+first run: {compile_time:.1f}s")
 
-    t0 = time.time()
-    state2, rewards = run(state2, jax.random.PRNGKey(2))
-    jax.block_until_ready(rewards)
-    dt = time.time() - t0
+    state2 = _strip_weak_type(state2)
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        state2, rewards = run(state2, jax.random.PRNGKey(2 + i))
+        jax.block_until_ready(rewards)
+        times.append(time.time() - t0)
+    dt = min(times)
     sps = num_envs * steps / dt
-    log(f"rollout: {num_envs} envs x {steps} steps in {dt:.2f}s -> {sps:,.0f} env-steps/s")
+    log(
+        f"rollout: {num_envs} envs x {steps} steps in {dt:.2f}s -> "
+        f"{sps:,.0f} env-steps/s (times={['%.2f' % t for t in times]})"
+    )
     return sps
 
 
@@ -241,10 +255,14 @@ def bench_training_step(
         return params, opt_state, norm_params, state, metrics
 
     env_steps_per = batch_size * num_minibatches * unroll_length
+    params, opt_state, norm_params, env_state = _strip_weak_type(
+        (params, opt_state, norm_params, env_state)
+    )
     t0 = time.time()
     out = epoch(params, opt_state, norm_params, env_state, jax.random.PRNGKey(7))
     jax.block_until_ready(out[-1])
     log(f"training step compile+first run: {time.time() - t0:.1f}s")
+    out = _strip_weak_type(out)
 
     times = []
     for i in range(reps):

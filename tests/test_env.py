@@ -140,12 +140,15 @@ class TestWrappers:
         a = jp.zeros((4, toy_env.action_size))
         for _ in range(3):
             state = step(state, a)
-        # after 3 steps all envs truncate -> done, next step swaps in reset state
+        # after 3 steps all envs truncate -> done, and the SAME step already
+        # swapped the cached first state back in (reference wrappers.py:288-310)
         assert np.asarray(state.done).all()
-        state = step(state, a)
         np.testing.assert_allclose(
             np.asarray(state.pipeline_state.qpos), first_qpos, rtol=1e-5
         )
+        # steps counter is zeroed lazily at the START of the next step
+        # (reference wrappers.py:289-292), so it still reads 3 here
+        assert np.asarray(state.info["steps"] == 3).all()
 
     def test_lstm_autoreset_hidden_shapes(self, toy_env):
         env = wrappers.EpisodeWrapper(toy_env, episode_length=5, action_repeat=1)
@@ -168,9 +171,10 @@ class TestWrappers:
         )
         new_qpos = jp.concatenate([ref.position, ref.quaternion, ref.joints])
         qvel = np.asarray(state.pipeline_state.qvel)
-        np.testing.assert_allclose(
-            np.asarray(state.pipeline_state.qpos), np.asarray(new_qpos), atol=1e-6
-        )
+        # noise=False only gates the qvel noise; qpos noise is unconditional
+        # (reference single_clip_tracking.py:153-161)
+        err = np.abs(np.asarray(state.pipeline_state.qpos) - np.asarray(new_qpos))
+        assert err.max() <= toy_env._reset_noise_scale + 1e-6
         np.testing.assert_allclose(qvel, 0.0, atol=1e-7)
 
     def test_render_rollout_wrapper(self, toy_env):
