@@ -6,6 +6,7 @@ rescale, torso body is "thorax" (fly.py:34)."""
 from __future__ import annotations
 
 import logging
+import os
 from pathlib import Path
 from typing import Sequence
 
@@ -17,6 +18,81 @@ from track_mjx_tpu.envs.walker import spec_utils
 from track_mjx_tpu.envs.walker.base import BaseWalker, DEFAULT_ASSET_ROOT
 
 _XML_PATH = "fruitfly/fruitfly_force_fast.xml"
+
+# A minimal valid OBJ (unit-ish cube) used for mesh files missing from the
+# asset checkout (the reference repo ships 6 fly meshes as MISSING_LARGE_BLOBS
+# placeholders). Visual fidelity and the small inertia contribution of those
+# geoms differ from the canonical fly; collision geoms are unaffected (the
+# fly's collision shapes are primitives).
+_PLACEHOLDER_OBJ = """# placeholder mesh (missing from asset checkout)
+v -0.01 -0.01 -0.01
+v 0.01 -0.01 -0.01
+v 0.01 0.01 -0.01
+v -0.01 0.01 -0.01
+v -0.01 -0.01 0.01
+v 0.01 -0.01 0.01
+v 0.01 0.01 0.01
+v -0.01 0.01 0.01
+f 1 2 3
+f 1 3 4
+f 5 7 6
+f 5 8 7
+f 1 6 2
+f 1 5 6
+f 2 7 3
+f 2 6 7
+f 3 8 4
+f 3 7 8
+f 4 5 1
+f 4 8 5
+"""
+
+
+def ensure_fly_assets(asset_root: str) -> str:
+    """Returns a usable fruitfly asset dir: the original if complete, else a
+    shadow dir of symlinks plus generated placeholder meshes."""
+    import re
+
+    src = Path(asset_root) / "fruitfly"
+    xmls = list(src.glob("*.xml"))
+    referenced = set()
+    for xml in xmls:
+        referenced |= set(re.findall(r'file="assets/([^"]+)"', xml.read_text()))
+    present = (
+        set(p.name for p in (src / "assets").iterdir())
+        if (src / "assets").exists()
+        else set()
+    )
+    missing = referenced - present
+    if not missing:
+        return str(src)
+
+    shadow = Path(
+        os.environ.get(
+            "TRACK_MJX_TPU_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "track_mjx_tpu"),
+        )
+    ) / "fruitfly"
+    (shadow / "assets").mkdir(parents=True, exist_ok=True)
+    for xml in xmls:
+        dst = shadow / xml.name
+        if not dst.exists():
+            dst.symlink_to(xml)
+    for name in present:
+        dst = shadow / "assets" / name
+        if not dst.exists():
+            dst.symlink_to(src / "assets" / name)
+    for name in missing:
+        dst = shadow / "assets" / name
+        if not dst.exists():
+            dst.write_text(_PLACEHOLDER_OBJ)
+    logging.warning(
+        "fly assets: generated %d placeholder meshes (%s) in %s",
+        len(missing),
+        ", ".join(sorted(missing)),
+        shadow,
+    )
+    return str(shadow)
 
 
 class Fly(BaseWalker):
@@ -49,7 +125,8 @@ class Fly(BaseWalker):
     def _build_spec(
         self, torque_actuators: bool, rescale_factor: float
     ) -> mujoco.MjSpec:
-        path = Path(self._asset_root) / _XML_PATH
+        fly_dir = ensure_fly_assets(self._asset_root)
+        path = Path(fly_dir) / Path(_XML_PATH).name
         spec = mujoco.MjSpec.from_file(str(path))
 
         if torque_actuators:

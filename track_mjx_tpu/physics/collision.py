@@ -84,9 +84,11 @@ def _combine_params(model: Model, g1: np.ndarray, g2: np.ndarray):
     friction = jnp.stack(
         [fri3[:, 0], fri3[:, 0], fri3[:, 1], fri3[:, 2], fri3[:, 2]], axis=1
     )
-    margin = jnp.maximum(model.geom_margin[g1], model.geom_margin[g2])
-    gap = jnp.maximum(model.geom_gap[g1], model.geom_gap[g2])
-    return friction, solref, solimp, margin - gap
+    # empirically verified against MuJoCo 3.10: contact includemargin is the
+    # SUM of the two geoms' margins (each geom inflated by its margin); gap
+    # does not enter includemargin in this version
+    includemargin = model.geom_margin[g1] + model.geom_margin[g2]
+    return friction, solref, solimp, includemargin
 
 
 def _plane_sphere(n, ppos, c, r):

@@ -157,41 +157,48 @@ def make_constraint(
             model.body_invweight0[body1, 0] + model.body_invweight0[body2, 0]
         )
 
-        if plan.condim == 1:
-            J = jnp.where(active[:, None], jn, 0.0)
+        # static split of contact slots by condim
+        cd1 = np.nonzero(plan.contact_condim == 1)[0]
+        cd3 = np.nonzero(plan.contact_condim >= 3)[0]
+
+        if len(cd1):
+            J = jnp.where(active[cd1, None], jn[cd1], 0.0)
             jv = J @ data.qvel
-            aref = jnp.where(active, -b * jv - k * imp * pos, 0.0)
-            D = imp / jnp.maximum((1.0 - imp) * invweight_n, 1e-12)
+            aref = jnp.where(active[cd1], -b[cd1] * jv - k[cd1] * imp[cd1] * pos[cd1], 0.0)
+            D = imp[cd1] / jnp.maximum(
+                (1.0 - imp[cd1]) * invweight_n[cd1], 1e-12
+            )
             rows_J.append(J)
             rows_aref.append(aref)
             rows_D.append(D)
-            rows_pos.append(pos)
-            rows_act.append(active)
-        else:
+            rows_pos.append(pos[cd1])
+            rows_act.append(active[cd1])
+
+        if len(cd3):
             # pyramid rows: jn +/- mu_i * jt_i for i in (0, 1)
-            mu = contact.friction[:, :2]  # (ncon, 2) tangential
+            mu = contact.friction[cd3, :2]  # (n3, 2) tangential
+            jn3, jt3 = jn[cd3], jt[cd3]
             pyr = []
             for i in range(2):
-                pyr.append(jn + mu[:, i : i + 1] * jt[:, i])
-                pyr.append(jn - mu[:, i : i + 1] * jt[:, i])
-            J = jnp.stack(pyr, axis=1)  # (ncon, 4, nv)
-            J = jnp.where(active[:, None, None], J, 0.0)
+                pyr.append(jn3 + mu[:, i : i + 1] * jt3[:, i])
+                pyr.append(jn3 - mu[:, i : i + 1] * jt3[:, i])
+            J = jnp.stack(pyr, axis=1)  # (n3, 4, nv)
+            J = jnp.where(active[cd3, None, None], J, 0.0)
             jv = jnp.einsum("crv,v->cr", J, data.qvel)
-            aref = -b[:, None] * jv - (k * imp * pos)[:, None]
-            aref = jnp.where(active[:, None], aref, 0.0)
-            mu2 = jnp.repeat(mu, 2, axis=1)  # (ncon, 4) row-wise mu
-            invweight_pyr = invweight_n[:, None] * (
+            aref = -b[cd3, None] * jv - (k[cd3] * imp[cd3] * pos[cd3])[:, None]
+            aref = jnp.where(active[cd3, None], aref, 0.0)
+            mu2 = jnp.repeat(mu, 2, axis=1)  # (n3, 4) row-wise mu
+            invweight_pyr = invweight_n[cd3, None] * (
                 1.0 + mu2**2
             ) * 2.0 * mu2**2 / model.opt_impratio
-            D = imp[:, None] / jnp.maximum(
-                (1.0 - imp[:, None]) * invweight_pyr, 1e-12
-            )
-            nrows = ncon * 4
+            imp3 = imp[cd3, None]
+            D = imp3 / jnp.maximum((1.0 - imp3) * invweight_pyr, 1e-12)
+            nrows = len(cd3) * 4
             rows_J.append(J.reshape(nrows, nv))
             rows_aref.append(aref.reshape(nrows))
             rows_D.append(D.reshape(nrows))
-            rows_pos.append(jnp.repeat(pos, 4))
-            rows_act.append(jnp.repeat(active, 4))
+            rows_pos.append(jnp.repeat(pos[cd3], 4))
+            rows_act.append(jnp.repeat(active[cd3], 4))
 
     if not rows_J:
         return EfcData(

@@ -91,7 +91,8 @@ class PhysicsPlan:
     # collision candidate pairs, grouped by (type1, type2)
     pair_groups: tuple  # tuple of (t1, t2, np.ndarray geom1, np.ndarray geom2)
     ncon_per_pair_type: dict  # {(t1,t2): contacts emitted per pair}
-    condim: int  # uniform contact dim (asserted)
+    condim: int  # max contact dim over all candidate contacts
+    contact_condim: np.ndarray  # (ncon,) per-contact-slot condim
     # actuators
     actuator_trntype: np.ndarray
     actuator_dyntype: np.ndarray
@@ -379,23 +380,42 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> tuple[PhysicsPlan, Model]
     condims = set(int(c) for c in m.geom_condim)
     if condims - {1, 3}:
         raise NotImplementedError(f"condim {condims} not supported (need 1 or 3)")
-    condim = 3 if 3 in condims else 1
+    if int(m.opt.cone) == CONE_ELLIPTIC:
+        # TODO(round 2): native elliptic cone support in the solver; pyramid
+        # is a standard approximation and the supported configs request CG
+        import logging
+
+        logging.warning(
+            "model requests the elliptic friction cone; approximating with "
+            "the pyramidal cone"
+        )
 
     pair_groups = _collision_pairs(m)
     ncon = 0
+    contact_condim = []
     for t1, t2, g1, g2 in pair_groups:
         if (t1, t2) not in _NCON_PER_TYPE:
             raise NotImplementedError(f"collision pair type {(t1, t2)}")
-        ncon += _NCON_PER_TYPE[(t1, t2)] * len(g1)
+        ncon_per = _NCON_PER_TYPE[(t1, t2)]
+        ncon += ncon_per * len(g1)
+        # contact condim = max of the two geoms' condim (mj_contactParam
+        # equal-priority rule; priority overrides are rare and unused here)
+        cd = np.maximum(m.geom_condim[g1], m.geom_condim[g2])
+        for _ in range(ncon_per):
+            contact_condim.append(cd)
+    contact_condim = (
+        np.concatenate(contact_condim) if contact_condim else np.zeros(0, np.int64)
+    )
+    condim = int(contact_condim.max()) if ncon else 1
 
     limited_jnt = np.nonzero(
         (m.jnt_limited == 1)
         & ((m.jnt_type == JNT_HINGE) | (m.jnt_type == JNT_SLIDE))
     )[0]
     nlimit = len(limited_jnt)
-    # efc rows: limits (1 each) + contacts (pyramidal: 2*(condim-1), or 1)
-    rows_per_con = 1 if condim == 1 else 2 * (condim - 1)
-    nefc = nlimit + ncon * rows_per_con
+    # efc rows: limits (1 each) + per-contact pyramidal rows
+    rows_per_con = np.where(contact_condim == 1, 1, 2 * (contact_condim - 1))
+    nefc = nlimit + int(rows_per_con.sum())
 
     tendon_moment, tendon_len_mat, tendon_len_const = _fixed_tendon_matrices(m)
     act_len_mat, act_len_const, act_moment, gear0 = _transmission_matrices(
@@ -442,6 +462,7 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> tuple[PhysicsPlan, Model]
         pair_groups=pair_groups,
         ncon_per_pair_type=dict(_NCON_PER_TYPE),
         condim=condim,
+        contact_condim=contact_condim,
         actuator_trntype=m.actuator_trntype.copy(),
         actuator_dyntype=m.actuator_dyntype.copy(),
         actuator_gaintype=m.actuator_gaintype.copy(),
