@@ -1,0 +1,218 @@
+"""Lane-batched small-matrix linear algebra (Pallas TPU kernels).
+
+XLA's batched Cholesky/TriangularSolve on TPU lowers to per-column loops of
+tiny ops — profiled at ~9 ms per call for 1024x(73x73) (0.1% of peak), and the
+physics pipeline is dominated by them. These kernels flip the layout: the
+BATCH rides the 128-wide lane axis ([n, n, B_tile] blocks resident in VMEM),
+so each of the n sequential factorization steps is a full-width VPU op and the
+whole factorization costs one HBM round trip.
+
+Exposed as `cholesky(a)` / `cho_solve(l, b)` with jnp fallbacks, wrapped in
+`jax.custom_batching.custom_vmap` so per-env physics code written for a single
+[n, n] matrix dispatches to the lane-batched kernel under `jax.vmap` on TPU
+and to jnp.linalg elsewhere (tests run the CPU fallback).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # TPU-only module; import guarded so CPU-only envs still work
+    from jax.experimental.pallas import tpu as pltpu
+except Exception:  # pragma: no cover
+    pltpu = None
+
+LANE_TILE = 128
+# guard: VMEM footprint grows as n^2 * 128 * 4B; 128x128x128 = 8 MB is the cap
+MAX_N = 128
+
+
+def _use_tpu_kernel(n: int) -> bool:
+    return (
+        pltpu is not None
+        and jax.default_backend() == "tpu"
+        and n <= MAX_N
+    )
+
+
+# ---------------------------------------------------------------------------
+# kernels (operate on [n, n, LANE_TILE] / [n, LANE_TILE] VMEM blocks)
+# ---------------------------------------------------------------------------
+
+
+def _cholesky_kernel(a_ref, l_ref):
+    """Right-looking Cholesky, batch on lanes; fori_loop keeps Mosaic compile
+    time flat (the unrolled variant compiles for ~10 minutes). Row/column
+    extraction uses masked reductions because dynamic gathers don't lower."""
+    n = a_ref.shape[0]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+    k_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+    l_ref[:] = a_ref[:]  # no-op copy when aliased; correctness otherwise
+
+    # work in-place in the output ref: the fori_loop then carries no
+    # (n, n, lanes) value, which is what kept the VMEM footprint over budget
+    def body(j, _):
+        a = l_ref[:]
+        diag = jnp.sum(
+            jnp.where((row_ids == j) & (col_ids == j), a, 0.0), axis=(0, 1)
+        )  # (lanes,)
+        d = jax.lax.rsqrt(diag)
+        col = jnp.sum(jnp.where(col_ids == j, a, 0.0), axis=1) * d[None, :]
+        a = jnp.where(col_ids == j, col[:, None, :], a)
+        # rank-1 trailing update; zeroing rows <= j of the column makes the
+        # outer product self-masking (no (n, n, lanes) mask temporary)
+        colm = jnp.where(k_ids > j, col, 0.0)
+        l_ref[:] = a - colm[:, None, :] * colm[None, :, :]
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+    l_ref[:] = jnp.where(row_ids >= col_ids, l_ref[:], 0.0)
+
+
+def _cho_solve_kernel(l_ref, b_ref, x_ref):
+    """Solves L L^T x = b for one lane-tile; b/x are (n, lanes)."""
+    n = l_ref.shape[0]
+    l = l_ref[:]
+    b = b_ref[:]
+    k_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    row_ids3 = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+    col_ids3 = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+
+    def fwd_body(i, y):
+        row = jnp.sum(jnp.where(row_ids3 == i, l, 0.0), axis=0)  # (n, lanes)
+        lii = jnp.sum(jnp.where(k_ids == i, row, 0.0), axis=0)  # (lanes,)
+        bi = jnp.sum(jnp.where(k_ids == i, b, 0.0), axis=0)
+        s = jnp.sum(jnp.where(k_ids < i, row * y, 0.0), axis=0)
+        v = (bi - s) / lii
+        return jnp.where(k_ids == i, v[None, :], y)
+
+    y = jax.lax.fori_loop(0, n, fwd_body, jnp.zeros_like(b))
+
+    def bwd_body(t, x):
+        i = n - 1 - t
+        colv = jnp.sum(jnp.where(col_ids3 == i, l, 0.0), axis=1)  # (n, lanes)
+        lii = jnp.sum(jnp.where(k_ids == i, colv, 0.0), axis=0)
+        yi = jnp.sum(jnp.where(k_ids == i, y, 0.0), axis=0)
+        s = jnp.sum(jnp.where(k_ids > i, colv * x, 0.0), axis=0)
+        v = (yi - s) / lii
+        return jnp.where(k_ids == i, v[None, :], x)
+
+    x = jax.lax.fori_loop(0, n, bwd_body, jnp.zeros_like(b))
+    x_ref[:] = x
+
+
+def _pad_batch(x, tile):
+    b = x.shape[-1]
+    rem = (-b) % tile
+    if rem:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, rem)]
+        x = jnp.pad(x, pad)
+    return x, b
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _cholesky_tpu(a_bnn: jax.Array) -> jax.Array:
+    """[B, n, n] -> [B, n, n] lower Cholesky via the lane-batched kernel."""
+    b, n, _ = a_bnn.shape
+    a = jnp.moveaxis(a_bnn, 0, -1)  # (n, n, B)
+    a, b_orig = _pad_batch(a, LANE_TILE)
+    bp = a.shape[-1]
+    out = pl.pallas_call(
+        _cholesky_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, n, bp), a.dtype),
+        grid=(bp // LANE_TILE,),
+        in_specs=[
+            pl.BlockSpec(
+                (n, n, LANE_TILE), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (n, n, LANE_TILE), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        ),
+        input_output_aliases={0: 0},
+    )(a)
+    return jnp.moveaxis(out[..., :b_orig], -1, 0)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _cho_solve_tpu(l_bnn: jax.Array, b_bn: jax.Array) -> jax.Array:
+    """Solves (L L^T) x = b for [B, n, n], [B, n] -> [B, n]."""
+    b, n, _ = l_bnn.shape
+    l = jnp.moveaxis(l_bnn, 0, -1)  # (n, n, B)
+    rhs = jnp.moveaxis(b_bn, 0, -1)  # (n, B)
+    l, b_orig = _pad_batch(l, LANE_TILE)
+    rhs, _ = _pad_batch(rhs, LANE_TILE)
+    bp = l.shape[-1]
+    out = pl.pallas_call(
+        _cho_solve_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, bp), rhs.dtype),
+        grid=(bp // LANE_TILE,),
+        in_specs=[
+            pl.BlockSpec(
+                (n, n, LANE_TILE), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (n, LANE_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (n, LANE_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+    )(l, rhs)
+    return jnp.moveaxis(out[:, :b_orig], -1, 0)
+
+
+# ---------------------------------------------------------------------------
+# public API with custom vmap dispatch
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_batching.custom_vmap
+def cholesky(a: jax.Array) -> jax.Array:
+    """Lower Cholesky of an SPD [n, n] matrix (lane-batched under vmap)."""
+    return jnp.linalg.cholesky(a)
+
+
+@cholesky.def_vmap
+def _cholesky_vmap(axis_size, in_batched, a):
+    (a_batched,) = in_batched
+    if not a_batched:
+        return jnp.linalg.cholesky(a), False
+    n = a.shape[-1]
+    if _use_tpu_kernel(n):
+        return _cholesky_tpu(a), True
+    return jnp.linalg.cholesky(a), True
+
+
+@jax.custom_batching.custom_vmap
+def cho_solve(l: jax.Array, b: jax.Array) -> jax.Array:
+    """Solves (L L^T) x = b given the lower factor L ([n, n], [n])."""
+    y = jax.scipy.linalg.solve_triangular(l, b, lower=True)
+    return jax.scipy.linalg.solve_triangular(l.T, y, lower=False)
+
+
+@cho_solve.def_vmap
+def _cho_solve_vmap(axis_size, in_batched, l, b):
+    l_batched, b_batched = in_batched
+    if not l_batched:
+        l = jnp.broadcast_to(l, (axis_size,) + l.shape)
+    if not b_batched:
+        b = jnp.broadcast_to(b, (axis_size,) + b.shape)
+    n = l.shape[-1]
+    if _use_tpu_kernel(n) and b.ndim == 2:
+        return _cho_solve_tpu(l, b), True
+
+    def base(l_, b_):
+        y = jax.scipy.linalg.solve_triangular(l_, b_, lower=True)
+        return jax.scipy.linalg.solve_triangular(y_t(l_), y, lower=False)
+
+    def y_t(l_):
+        return jnp.swapaxes(l_, -1, -2)
+
+    return jax.vmap(base)(l, b), True

@@ -141,11 +141,12 @@ def _euler_impl(plan: PhysicsPlan, model: Model, data: Data) -> Data:
     # implicit damping: qvel_new = qvel + h * (M + h D)^-1 qfrc_total
     # (C uses the raw force, not M @ qacc — they differ when the CG solve is
     # inexact, and matching C here is what keeps trajectories aligned)
+    from track_mjx_tpu.ops import batched_linalg
+
     mh = data.qM + dt * jnp.diag(model.dof_damping)
-    lh = jnp.linalg.cholesky(mh)
+    lh = batched_linalg.cholesky(mh)
     rhs = data.qfrc_smooth + data.qfrc_constraint
-    y = jax.scipy.linalg.solve_triangular(lh, rhs, lower=True)
-    qacc_eff = jax.scipy.linalg.solve_triangular(lh.T, y, lower=False)
+    qacc_eff = batched_linalg.cho_solve(lh, rhs)
 
     act = _advance_act(plan, model, data, dt)
     qvel = data.qvel + dt * qacc_eff

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from track_mjx_tpu.ops import spatial
+from track_mjx_tpu.ops import batched_linalg, spatial
 from track_mjx_tpu.physics.model import Data, Model, PhysicsPlan
 
 
@@ -48,15 +48,18 @@ def crb(plan: PhysicsPlan, model: Model, data: Data) -> Data:
 
 
 def factor_m(plan: PhysicsPlan, model: Model, data: Data) -> Data:
-    """Dense Cholesky factorization of qM (replaces sparse mj_factorM)."""
-    qld = jnp.linalg.cholesky(data.qM)
+    """Dense Cholesky factorization of qM (replaces sparse mj_factorM).
+
+    Dispatches to the lane-batched Pallas kernel under vmap on TPU
+    (ops/batched_linalg.py); XLA's loop-based batched cholesky there is ~100x
+    off peak for these matrix sizes."""
+    qld = batched_linalg.cholesky(data.qM)
     return data.replace(qLD=qld)
 
 
 def solve_m(data: Data, x: jax.Array) -> jax.Array:
     """Solves qM @ res = x using the cached Cholesky factor."""
-    y = jax.scipy.linalg.solve_triangular(data.qLD, x, lower=True)
-    return jax.scipy.linalg.solve_triangular(data.qLD.T, y, lower=False)
+    return batched_linalg.cho_solve(data.qLD, x)
 
 
 def mul_m(data: Data, x: jax.Array) -> jax.Array:
