@@ -30,6 +30,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+if jax.default_backend() == "tpu":
+    # persistent compilation cache: physics+train graphs take minutes to
+    # compile; safe on TPU (the XLA:CPU AOT reload path is the broken one)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)

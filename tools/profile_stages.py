@@ -15,6 +15,10 @@ import jax.numpy as jnp
 import mujoco
 import numpy as np
 
+if jax.default_backend() == "tpu":
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 sys.path.insert(0, ".")
 
 from track_mjx_tpu.envs.walker.base import DEFAULT_ASSET_ROOT
@@ -65,8 +69,26 @@ def main():
     full = jax.jit(jax.vmap(lambda d: fwd.forward(plan, model, d)))(data)
     jax.block_until_ready(full.qacc)
 
-    def timeit(name, fn, *args, n=5):
-        f = jax.jit(fn)
+    scan_reps = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+
+    def timeit(name, fn, *args, n=5, returns_data=True):
+        reps = scan_reps if returns_data else 1
+        if reps > 1:
+            # amortize the per-call dispatch floor: time scan(stage, reps);
+            # perturb the carry slightly so XLA can't hoist the body
+            inner = fn
+
+            def fn_scanned(d):
+                def body(carry, _):
+                    out = inner(carry)
+                    return out.replace(qpos=out.qpos * (1.0 + 1e-7)), None
+
+                carry, _ = jax.lax.scan(body, d, None, length=reps)
+                return carry
+
+            f = jax.jit(fn_scanned)
+        else:
+            f = jax.jit(fn)
         out = f(*args)
         jax.block_until_ready(out)
         times = []
@@ -75,7 +97,7 @@ def main():
             out = f(*args)
             jax.block_until_ready(out)
             times.append(time.time() - t0)
-        dt = min(times)
+        dt = min(times) / reps
         print(f"{name:22s} {dt * 1e3:8.2f} ms", file=sys.stderr)
         return dt
 
@@ -112,14 +134,14 @@ def main():
 
             return jax.vmap(one)(d)
 
-    timeit("collision+constraint", constr, full)
+    timeit("collision+constraint", constr, full, returns_data=False)
 
     def slv(d):
         with hp:
             def one(dd):
                 dd, contact = collide(plan, model, dd)
                 efc = make_constraint(plan, model, dd, contact)
-                return solver_mod.solve(plan, model, dd, efc).qacc
+                return solver_mod.solve(plan, model, dd, efc)
 
             return jax.vmap(one)(d)
 
@@ -129,7 +151,7 @@ def main():
         with hp:
             return jax.vmap(lambda dd: solve_m(dd, dd.qfrc_bias))(d)
 
-    timeit("solve_m (2 trisolve)", solve_only, full)
+    timeit("solve_m (2 trisolve)", solve_only, full, returns_data=False)
 
     timeit("euler", stage(fwd.euler), full)
 
