@@ -116,8 +116,11 @@ def rollout_logging_fn(
 
         import imageio
 
+        from track_mjx_tpu.analysis.render import _mp4_writable
+
         render_fps = cfg["env_config"].get("render_fps") or int(1.0 / env.dt)
-        video_path = f"{model_path}/{current_step}.mp4"
+        ext = "mp4" if _mp4_writable() else "gif"
+        video_path = f"{model_path}/{current_step}.{ext}"
         qposes_rollout = np.array(
             [np.asarray(s.pipeline_state.qpos) for s in rollout]
         )
@@ -145,7 +148,7 @@ def rollout_logging_fn(
                 pixels = renderer.render()
                 video.append_data(pixels)
         wandb.log(
-            {"videos/rollout": wandb.Video(video_path, format="mp4")},
+            {"videos/rollout": wandb.Video(video_path, format=ext)},
             commit=False,
         )
 

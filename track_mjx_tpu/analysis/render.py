@@ -84,6 +84,16 @@ def make_ghost_pair(
     return base, model, xml
 
 
+def _mp4_writable() -> bool:
+    """True when imageio has an mp4 backend (ffmpeg) available."""
+    try:
+        import imageio_ffmpeg  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def gl_available() -> bool:
     """True when a MuJoCo-usable GL context can be created."""
     try:
@@ -210,6 +220,10 @@ def plot_pca_intention_video(
     intentions = np.asarray(intentions)
     pca = PCA(n_components=n_components)
     embedded = pca.fit_transform(intentions)
+
+    if out_path.endswith(".mp4") and not _mp4_writable():
+        out_path = out_path[:-4] + ".gif"
+        logging.warning("no mp4 backend (ffmpeg); writing %s instead", out_path)
 
     frames = []
     fig, ax = plt.subplots(figsize=(5, 5))
