@@ -55,17 +55,18 @@ def _cholesky_kernel(a_ref, l_ref):
 
     l_ref[:] = a_ref[:]  # no-op copy when aliased; correctness otherwise
 
-    # work in-place in the output ref: the fori_loop then carries no
-    # (n, n, lanes) value, which is what kept the VMEM footprint over budget
+    # Work in-place in the output ref: the fori_loop then carries no
+    # (n, n, lanes) value, which is what kept the VMEM footprint over budget.
+    # Column j is read as ROW j (the trailing submatrix stays symmetric and
+    # the sub-diagonal part of row j is masked out), so the per-step
+    # extraction is an O(n) dynamic slice instead of an O(n^2) reduction.
     def body(j, _):
-        a = l_ref[:]
-        diag = jnp.sum(
-            jnp.where((row_ids == j) & (col_ids == j), a, 0.0), axis=(0, 1)
-        )  # (lanes,)
+        row = l_ref[pl.ds(j, 1), :, :][0]  # (n, lanes)
+        diag = jnp.sum(jnp.where(k_ids == j, row, 0.0), axis=0)  # (lanes,)
         d = jax.lax.rsqrt(diag)
-        col = jnp.sum(jnp.where(col_ids == j, a, 0.0), axis=1) * d[None, :]
-        a = jnp.where(col_ids == j, col[:, None, :], a)
-        # rank-1 trailing update; zeroing rows <= j of the column makes the
+        col = row * d[None, :]
+        a = jnp.where(col_ids == j, col[:, None, :], l_ref[:])
+        # rank-1 trailing update; zeroing entries <= j of the column makes the
         # outer product self-masking (no (n, n, lanes) mask temporary)
         colm = jnp.where(k_ids > j, col, 0.0)
         l_ref[:] = a - colm[:, None, :] * colm[None, :, :]
@@ -75,28 +76,31 @@ def _cholesky_kernel(a_ref, l_ref):
     l_ref[:] = jnp.where(row_ids >= col_ids, l_ref[:], 0.0)
 
 
-def _cho_solve_kernel(l_ref, b_ref, x_ref):
+def _cho_solve_kernel(l_ref, b_ref, x_ref, lt_ref):
     """Solves L L^T x = b for one lane-tile; b/x are (n, lanes)."""
     n = l_ref.shape[0]
-    l = l_ref[:]
     b = b_ref[:]
     k_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-    row_ids3 = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
-    col_ids3 = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
 
+    # row i of L via dynamic slice on the major dim: O(n) per step instead of
+    # an O(n^2) masked reduction (which would make each solve O(n^3))
     def fwd_body(i, y):
-        row = jnp.sum(jnp.where(row_ids3 == i, l, 0.0), axis=0)  # (n, lanes)
-        lii = jnp.sum(jnp.where(k_ids == i, row, 0.0), axis=0)  # (lanes,)
+        r = l_ref[pl.ds(i, 1), :, :][0]  # (n, lanes)
+        lii = jnp.sum(jnp.where(k_ids == i, r, 0.0), axis=0)  # (lanes,)
         bi = jnp.sum(jnp.where(k_ids == i, b, 0.0), axis=0)
-        s = jnp.sum(jnp.where(k_ids < i, row * y, 0.0), axis=0)
+        s = jnp.sum(jnp.where(k_ids < i, r * y, 0.0), axis=0)
         v = (bi - s) / lii
         return jnp.where(k_ids == i, v[None, :], y)
 
     y = jax.lax.fori_loop(0, n, fwd_body, jnp.zeros_like(b))
 
+    # backward pass consumes columns of L = rows of L^T; transpose once into
+    # scratch (ref dynamic slicing works where value dynamic_slice does not)
+    lt_ref[:] = jnp.swapaxes(l_ref[:], 0, 1)
+
     def bwd_body(t, x):
         i = n - 1 - t
-        colv = jnp.sum(jnp.where(col_ids3 == i, l, 0.0), axis=1)  # (n, lanes)
+        colv = lt_ref[pl.ds(i, 1), :, :][0]  # (n, lanes)
         lii = jnp.sum(jnp.where(k_ids == i, colv, 0.0), axis=0)
         yi = jnp.sum(jnp.where(k_ids == i, y, 0.0), axis=0)
         s = jnp.sum(jnp.where(k_ids > i, colv * x, 0.0), axis=0)
@@ -164,6 +168,7 @@ def _cho_solve_tpu(l_bnn: jax.Array, b_bn: jax.Array) -> jax.Array:
         out_specs=pl.BlockSpec(
             (n, LANE_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
+        scratch_shapes=[pltpu.VMEM((n, n, LANE_TILE), rhs.dtype)],
     )(l, rhs)
     return jnp.moveaxis(out[:, :b_orig], -1, 0)
 
