@@ -301,3 +301,37 @@ class TestToyModel:
         f32 = lambda x: jnp.asarray(x, jnp.float32)
         data = run(model, f32(qpos), f32(qvel), f32(ctrl))
         _assert_close(data.qpos, d.qpos, rel=2e-3, name="qpos")
+
+
+class TestSensors:
+    """Sensor parity vs the C engine (rodent IMU triplet + subtreelinvel)."""
+
+    def test_sensordata(self, rodent_mj_model, rodent_system):
+        m = rodent_mj_model
+        plan, model = rodent_system
+        qpos, qvel, ctrl = _random_state(m, seed=4, joint_scale=0.1)
+        qpos[2] += 0.3  # airborne: accelerometer sees smooth dynamics only
+        d = mujoco.MjData(m)
+        d.qpos[:] = qpos
+        d.qvel[:] = qvel
+        d.ctrl[:] = ctrl
+        mujoco.mj_forward(m, d)
+
+        @jax.jit
+        def run(model, qpos, qvel, ctrl):
+            data = pm.make_data(plan, model)
+            data = data.replace(qpos=qpos, qvel=qvel, ctrl=ctrl)
+            return forward(plan, model, data)
+
+        f32 = lambda x: jnp.asarray(x, jnp.float32)
+        data = run(model, f32(qpos), f32(qvel), f32(ctrl))
+        # compare per sensor with its own scale
+        for i in range(m.nsensor):
+            adr, dim = int(m.sensor_adr[i]), int(m.sensor_dim[i])
+            mine = np.asarray(data.sensordata[adr : adr + dim], np.float64)
+            ref = d.sensordata[adr : adr + dim]
+            scale = max(1.0, np.abs(ref).max())
+            name = mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_SENSOR, i) or str(i)
+            assert np.abs(mine - ref).max() / scale < 2e-3, (
+                f"sensor {name}: {mine} vs {ref}"
+            )

@@ -19,7 +19,7 @@ from track_mjx_tpu.physics.model import Data, Model, PhysicsPlan
 SENS_ACCELEROMETER = 1
 SENS_VELOCIMETER = 2
 SENS_GYRO = 3
-SENS_SUBTREELINVEL = 21
+SENS_SUBTREELINVEL = 36
 
 # mjtObj
 OBJ_BODY = 1
