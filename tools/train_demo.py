@@ -34,6 +34,7 @@ from track_mjx_tpu.utils.config import load_config
 def main():
     num_timesteps = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
     num_envs = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    num_evals = int(sys.argv[3]) if len(sys.argv) > 3 else 6
 
     cfg = load_config("rodent-full-clips")
     walker = Rodent(
@@ -95,7 +96,7 @@ def main():
         batch_size=256,
         num_minibatches=4,
         num_updates_per_batch=4,
-        num_evals=6,
+        num_evals=num_evals,
         normalize_observations=True,
         clipping_epsilon=0.2,
         use_lstm=False,

@@ -102,6 +102,7 @@ def train(
     kl_ramp_up_frac: float = 0.25,
     freeze_decoder: bool = False,
     checkpoint_callback: Optional[Callable[[int], None]] = None,
+    epoch_steps_per_call: Optional[int] = None,
 ):
     """Trains an LSTM intention PPO policy."""
     del use_kl_schedule, kl_ramp_up_frac, freeze_decoder, eval_env_test_set
@@ -296,17 +297,23 @@ def train(
         )
         return (new_training_state, state, new_key), metrics
 
+    # epoch chunking (see mlp_ppo/ppo.py): bound single-device-call runtime
+    chunk = int(epoch_steps_per_call or num_training_steps_per_epoch)
+    chunk = max(1, min(chunk, int(num_training_steps_per_epoch)))
+    num_chunks = int(np.ceil(num_training_steps_per_epoch / chunk))
+
     def training_epoch(training_state: TrainingState, state: State, key):
         (training_state, state, _), loss_metrics = jax.lax.scan(
             training_step,
             (training_state, state, key),
             (),
-            length=num_training_steps_per_epoch,
+            length=chunk,
         )
         loss_metrics = jax.tree.map(jnp.mean, loss_metrics)
         return training_state, state, loss_metrics
 
-    training_epoch = jax.jit(training_epoch, donate_argnums=(0, 1))
+    # donation disabled (see mlp_ppo/ppo.py: faults with Pallas kernels)
+    training_epoch = jax.jit(training_epoch)
 
     training_walltime = 0.0
 
@@ -314,14 +321,21 @@ def train(
         nonlocal training_walltime
         t = time.time()
         training_state, env_state = _strip_weak_type((training_state, env_state))
-        result = training_epoch(training_state, env_state, key)
-        training_state, env_state, metrics = _strip_weak_type(result)
-        metrics = jax.tree.map(jnp.mean, metrics)
+        chunk_metrics = []
+        for _ in range(num_chunks):
+            key, sub_key = jax.random.split(key)
+            result = training_epoch(training_state, env_state, sub_key)
+            training_state, env_state, metrics = _strip_weak_type(result)
+            chunk_metrics.append(metrics)
+        metrics = jax.tree.map(
+            lambda *xs: jnp.mean(jnp.stack(xs)), *chunk_metrics
+        )
         jax.tree.map(lambda x: x.block_until_ready(), metrics)
         epoch_training_time = time.time() - t
         training_walltime += epoch_training_time
         sps = (
-            num_training_steps_per_epoch
+            chunk
+            * num_chunks
             * env_step_per_training_step
             * max(num_resets_per_eval, 1)
         ) / epoch_training_time

@@ -114,6 +114,7 @@ def train(
     kl_ramp_up_frac: float = 0.25,
     freeze_decoder: bool = False,
     checkpoint_callback: Optional[Callable[[int], None]] = None,
+    epoch_steps_per_call: Optional[int] = None,
 ):
     """Trains an intention PPO policy; returns (make_policy, params, metrics)."""
     assert batch_size * num_minibatches % num_envs == 0, (
@@ -427,6 +428,13 @@ def train(
         )
         return (new_training_state, state, new_key, it), metrics
 
+    # epoch chunking: some runtimes bound the wall time of a single device
+    # program (this build's TPU tunnel kills calls beyond ~100 s), so the
+    # epoch's training-step scan can be split across several jit calls
+    chunk = int(epoch_steps_per_call or num_training_steps_per_epoch)
+    chunk = max(1, min(chunk, int(num_training_steps_per_epoch)))
+    num_chunks = int(np.ceil(num_training_steps_per_epoch / chunk))
+
     def training_epoch(
         training_state: TrainingState, state: State, key: types.PRNGKey, it
     ):
@@ -434,12 +442,16 @@ def train(
             training_step,
             (training_state, state, key, it),
             (),
-            length=num_training_steps_per_epoch,
+            length=chunk,
         )
         loss_metrics = jax.tree.map(jnp.mean, loss_metrics)
         return training_state, state, loss_metrics
 
-    training_epoch = jax.jit(training_epoch, donate_argnums=(0, 1))
+    # NOTE: buffer donation disabled — donated carries triggered TPU device
+    # faults mid-epoch in combination with the Pallas linalg kernels
+    # (TODO round 2: isolate and re-enable; memory headroom is ample at
+    # current batch sizes)
+    training_epoch = jax.jit(training_epoch)
 
     training_walltime = 0.0
 
@@ -448,16 +460,22 @@ def train(
         t = time.time()
         training_state, env_state = _strip_weak_type((training_state, env_state))
         step = jnp.ones_like(training_state.env_steps) * it
-        result = training_epoch(training_state, env_state, key, step)
-        training_state, env_state, metrics = _strip_weak_type(result)
-
-        metrics = jax.tree.map(jnp.mean, metrics)
+        chunk_metrics = []
+        for _ in range(num_chunks):
+            key, sub_key = jax.random.split(key)
+            result = training_epoch(training_state, env_state, sub_key, step)
+            training_state, env_state, metrics = _strip_weak_type(result)
+            chunk_metrics.append(metrics)
+        metrics = jax.tree.map(
+            lambda *xs: jnp.mean(jnp.stack(xs)), *chunk_metrics
+        )
         jax.tree.map(lambda x: x.block_until_ready(), metrics)
 
         epoch_training_time = time.time() - t
         training_walltime += epoch_training_time
         sps = (
-            num_training_steps_per_epoch
+            chunk
+            * num_chunks
             * env_step_per_training_step
             * max(num_resets_per_eval, 1)
         ) / epoch_training_time

@@ -139,7 +139,9 @@ def _cholesky_tpu(a_bnn: jax.Array) -> jax.Array:
         out_specs=pl.BlockSpec(
             (n, n, LANE_TILE), lambda i: (0, 0, i), memory_space=pltpu.VMEM
         ),
-        input_output_aliases={0: 0},
+        # NOTE: no input_output_aliases — the kernel copies a_ref -> l_ref
+        # itself, and custom-call aliasing interacted badly with the
+        # trainer's donated buffers (TPU device faults mid-epoch)
     )(a)
     return jnp.moveaxis(out[..., :b_orig], -1, 0)
 
