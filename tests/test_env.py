@@ -182,3 +182,35 @@ class TestWrappers:
         state = jax.jit(env.reset, static_argnums=1)(jax.random.PRNGKey(4), 1)
         assert int(state.info["clip_idx"]) == 1
         assert int(state.info["start_frame"]) == 0
+
+
+class TestDomainRandomization:
+    def test_randomized_vmap_wrapper(self, toy_env):
+        """Per-env randomized Model leaves through DomainRandomizationVmapWrapper."""
+        import jax as _jax
+        from track_mjx_tpu.physics.model import Model
+
+        n_envs = 3
+        base_model = toy_env.model
+
+        def randomization_fn(model):
+            # randomize floor friction per env; all other leaves shared
+            frictions = jp.stack(
+                [
+                    model.geom_friction.at[0, 0].set(0.5 + 0.1 * i)
+                    for i in range(n_envs)
+                ]
+            )
+            model_v = model.replace(geom_friction=frictions)
+            in_axes = _jax.tree.map(lambda _: None, model)
+            in_axes = in_axes.replace(geom_friction=0)
+            return model_v, in_axes
+
+        env = wrappers.EpisodeWrapper(toy_env, episode_length=5, action_repeat=1)
+        env = wrappers.DomainRandomizationVmapWrapper(env, randomization_fn)
+        rng = jax.random.split(jax.random.PRNGKey(0), n_envs)
+        state = jax.jit(env.reset)(rng)
+        state = jax.jit(env.step)(state, jp.zeros((n_envs, toy_env.action_size)))
+        assert np.isfinite(np.asarray(state.obs)).all()
+        # restore the unrandomized model for other tests
+        toy_env.model = base_model
