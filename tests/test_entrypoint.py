@@ -11,7 +11,6 @@ import numpy as np
 import pytest
 
 
-@pytest.mark.timeout(900)
 def test_train_entrypoint_end_to_end(tmp_path, monkeypatch):
     from track_mjx_tpu.envs.walker.rodent import Rodent
     from track_mjx_tpu.io import load as load_lib
@@ -41,11 +40,13 @@ def test_train_entrypoint_end_to_end(tmp_path, monkeypatch):
             f"logging_config.model_path={tmp_path / 'ckpts'}",
             "reference_config.clip_length=60",
             "reference_config.random_init_range=10",
-            "train_setup.eval_every=64",
-            "train_setup.reset_every=64",
-            "train_setup.train_config.num_envs=2",
-            "train_setup.train_config.num_timesteps=128",
-            "train_setup.train_config.batch_size=2",
+            "train_setup.train_subset_ratio=null",
+            "train_setup.eval_every=32",
+            "train_setup.reset_every=32",
+            "train_setup.train_config.num_envs=8",
+            "train_setup.train_config.num_timesteps=64",
+            "train_setup.train_config.batch_size=8",
+            "train_setup.train_config.num_eval_envs=8",
             "train_setup.train_config.num_minibatches=1",
             "train_setup.train_config.num_updates_per_batch=1",
             "train_setup.train_config.unroll_length=2",

@@ -46,8 +46,7 @@ def _use_tpu_kernel(n: int) -> bool:
 
 def _cholesky_kernel(a_ref, l_ref):
     """Right-looking Cholesky, batch on lanes; fori_loop keeps Mosaic compile
-    time flat (the unrolled variant compiles for ~10 minutes). Row/column
-    extraction uses masked reductions because dynamic gathers don't lower."""
+    time flat (a fully unrolled variant compiles for ~10 minutes)."""
     n = a_ref.shape[0]
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
