@@ -128,3 +128,45 @@ class TestCreateEnvironment:
         env = rollout_lib.create_environment(cfg)
         assert env.plan.nu == 38
         assert env._n_clips == 1
+
+
+class TestLSTMRolloutGenerator:
+    def test_lstm_generate_rollout(self):
+        from track_mjx_tpu.agent.lstm_ppo import losses as lstm_losses
+        from track_mjx_tpu.agent.lstm_ppo import ppo_networks as lstm_nets
+
+        env = make_toy_env(clip_length=20)
+        state = jax.jit(env.reset)(jax.random.PRNGKey(0))
+        ref_size = int(state.info["reference_obs_size"])
+        net = lstm_nets.make_intention_ppo_networks(
+            env.observation_size,
+            ref_size,
+            env.action_size,
+            preprocess_observations_fn=running_statistics.normalize,
+            intention_latent_size=4,
+            hidden_state_size=8,
+            hidden_layer_num=2,
+            encoder_hidden_layer_sizes=(16,),
+            decoder_hidden_layer_sizes=(16,),
+            value_hidden_layer_sizes=(16,),
+        )
+        dummy_hidden = (jnp.zeros((1, 2, 8)), jnp.zeros((1, 2, 8)))
+        policy_params = net.policy_network.init(
+            jax.random.PRNGKey(1), hidden_state=dummy_hidden
+        )
+        norm = running_statistics.init_state(
+            jax.ShapeDtypeStruct((env.observation_size,), jnp.float32)
+        )
+        make_policy = lstm_nets.make_inference_fn(net)
+        policy = make_policy((norm, policy_params), deterministic=True)
+        cfg = {
+            "reference_config": {"clip_length": 20},
+            "train_setup": {"train_config": {"use_lstm": True}},
+            "network_config": {"hidden_state_size": 8, "hidden_layer_num": 2},
+            "logging_config": {"rollout_metrics": ["pos_reward"]},
+        }
+        gen = rollout_lib.create_rollout_generator(cfg, env, policy, model="lstm")
+        out = gen(0)
+        n_steps = int(20 * env._steps_for_cur_frame)
+        assert out["qposes_rollout"].shape == (n_steps, env.plan.nq)
+        assert np.isfinite(np.asarray(out["qposes_rollout"])).all()

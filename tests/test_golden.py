@@ -1,0 +1,63 @@
+"""Golden-trajectory regression pinning: fixed-seed rollouts on the toy env
+must reproduce recorded values exactly across refactors (the framework-side
+analogue of the reference's bit-exactness goal; regenerate the goldens with
+REGEN_GOLDEN=1 when a change is INTENTIONALLY numerics-affecting and document
+it in the commit message)."""
+
+import json
+import os
+from pathlib import Path
+
+import jax
+import jax.numpy as jp
+import numpy as np
+import pytest
+
+from helpers import make_toy_env
+
+GOLDEN_PATH = Path(__file__).parent / "golden" / "toy_rollout.json"
+
+
+def _rollout_signature():
+    env = make_toy_env()
+    state = jax.jit(env.reset)(jax.random.PRNGKey(42))
+    step = jax.jit(env.step)
+    rng = jax.random.PRNGKey(7)
+    qpos_sig, reward_sig = [], []
+    for t in range(10):
+        rng, k = jax.random.split(rng)
+        action = jax.random.uniform(
+            k, (env.action_size,), minval=-0.5, maxval=0.5
+        )
+        state = step(state, action)
+        qpos_sig.append([float(x) for x in np.asarray(state.pipeline_state.qpos[:3])])
+        reward_sig.append(float(state.reward))
+    obs_sum = float(jp.sum(state.obs))
+    return {
+        "qpos_root": qpos_sig,
+        "rewards": reward_sig,
+        "final_obs_sum": obs_sum,
+        "start_frame": int(state.info["start_frame"]),
+        "clip_idx": int(state.info["clip_idx"]),
+    }
+
+
+def test_golden_rollout():
+    sig = _rollout_signature()
+    if os.environ.get("REGEN_GOLDEN") or not GOLDEN_PATH.exists():
+        GOLDEN_PATH.parent.mkdir(exist_ok=True)
+        GOLDEN_PATH.write_text(json.dumps(sig, indent=2))
+        pytest.skip("golden regenerated")
+    golden = json.loads(GOLDEN_PATH.read_text())
+    assert sig["start_frame"] == golden["start_frame"]
+    assert sig["clip_idx"] == golden["clip_idx"]
+    np.testing.assert_allclose(
+        np.array(sig["rewards"]), np.array(golden["rewards"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.array(sig["qpos_root"]), np.array(golden["qpos_root"]), rtol=1e-4,
+        atol=1e-6,
+    )
+    assert sig["final_obs_sum"] == pytest.approx(
+        golden["final_obs_sum"], rel=1e-4
+    )

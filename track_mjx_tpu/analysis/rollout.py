@@ -92,7 +92,14 @@ def create_rollout_generator(
     elif type(environment) == SingleClipTracking:
         rollout_env = wrappers.RenderRolloutWrapperSingleclipTracking(environment)
     if cfg["train_setup"]["train_config"]["use_lstm"]:
-        rollout_env = wrappers.RenderRolloutWrapperTrackingLSTM(environment)
+        # the reference constructs this wrapper with default hidden sizes
+        # regardless of the network config (analysis/rollout.py:103) — a
+        # latent shape bug we fix by threading the configured sizes
+        rollout_env = wrappers.RenderRolloutWrapperTrackingLSTM(
+            environment,
+            lstm_features=cfg["network_config"]["hidden_state_size"],
+            hidden_layer_num=cfg["network_config"]["hidden_layer_num"],
+        )
 
     jit_inference_fn = jax.jit(inference_fn)
     jit_reset = jax.jit(rollout_env.reset)
