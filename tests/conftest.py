@@ -28,6 +28,22 @@ assert len(_jax.devices()) == 8, "tests expect the 8-device virtual CPU mesh"
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# trainer / end-to-end modules: whole-module `slow` marker so the fast tier
+# (`pytest -m "not slow"`) stays interactive (~2 min); the full suite runs
+# both tiers. Split per VERDICT round 1 ("What's weak" item 5).
+_SLOW_MODULES = {
+    "test_train",
+    "test_transfer",
+    "test_entrypoint",
+    "test_analysis",
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        if item.module.__name__ in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def rodent_mj_model():

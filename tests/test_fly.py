@@ -1,10 +1,16 @@
-"""Fly-walker physics parity (converged solver agreement with MuJoCo C).
+"""Fly-walker physics parity (elliptic cone + inertia-box fluid drag).
 
-The fly model exercises features the rodent doesn't: mixed condim 1/3 geoms,
-nonzero contact margins, mesh visual geoms (6 shipped as placeholders — see
-track_mjx_tpu/envs/walker/fly.py), and capsule-capsule self-collision
-candidates. Low-iteration CG paths legitimately differ between engines, so
-parity is asserted at 20 solver iterations where both converge."""
+The fly model exercises features the rodent doesn't: the elliptic friction
+cone (fruitfly_force_fast.xml option cone="elliptic"), nonzero fluid
+density/viscosity (0.00128 / 0.000185 cgs — the wing-drag regime the tracking
+task depends on), mixed condim 1/3 geoms, nonzero contact margins, and
+capsule-capsule self-collision candidates.
+
+Parity strategy: stage outputs (qfrc_passive incl. fluid, qacc_smooth) are
+compared directly against MuJoCo C; the constraint solve is compared at
+converged iteration counts AND by objective value — both engines minimize the
+same soft-constraint cost (verified via mj_constraintUpdate), so our qacc must
+score <= C's on C's own objective even when the iterates differ."""
 
 import jax
 import jax.numpy as jnp
@@ -15,47 +21,87 @@ import pytest
 from track_mjx_tpu.envs.walker.base import DEFAULT_ASSET_ROOT
 from track_mjx_tpu.envs.walker.fly import ensure_fly_assets
 from track_mjx_tpu.physics import model as pm
-from track_mjx_tpu.physics.forward import forward
+from track_mjx_tpu.physics import solver as slv
+from track_mjx_tpu.physics.forward import forward, fwd_position, fwd_velocity
 
 
 @pytest.fixture(scope="module")
 def fly_model():
     d = ensure_fly_assets(DEFAULT_ASSET_ROOT)
     m = mujoco.MjModel.from_xml_path(d + "/fruitfly_force_fast.xml")
-    m.opt.solver = 1
-    m.opt.iterations = 20
-    m.opt.ls_iterations = 10
+    m.opt.solver = 1  # CG (reference configs set cg; we reject newton loudly)
+    m.opt.iterations = 30
+    m.opt.ls_iterations = 15
     m.opt.jacobian = 0
-    m.opt.cone = 0  # pyramidal in both engines (elliptic is approximated)
+    # cone stays elliptic (the XML default for this model)
     return m
 
 
-def test_fly_packs(fly_model):
-    plan, model = pm.put_model(fly_model)
-    assert plan.nv == 42
-    assert plan.ncon > 0
-    assert plan.nefc == plan.nlimit + int(
-        np.where(
-            plan.contact_condim == 1, 1, 2 * (plan.contact_condim - 1)
-        ).sum()
-    )
+@pytest.fixture(scope="module")
+def fly_system(fly_model):
+    return pm.put_model(fly_model)
 
 
-def test_fly_forward_parity(fly_model):
-    m = fly_model
-    plan, model = pm.put_model(m)
-    rng = np.random.RandomState(0)
+def _rand_state(m, seed, qvel_scale):
+    rng = np.random.RandomState(seed)
     qpos = m.qpos0.copy()
     qpos[2] -= 0.002
     qpos[7:] += rng.uniform(-0.05, 0.05, m.nq - 7)
-    qvel = rng.uniform(-0.2, 0.2, m.nv)
+    qvel = rng.uniform(-qvel_scale, qvel_scale, m.nv)
     ctrl = rng.uniform(-0.2, 0.2, m.nu)
-    d = mujoco.MjData(m)
-    d.qpos[:] = qpos
-    d.qvel[:] = qvel
-    d.ctrl[:] = ctrl
-    mujoco.mj_forward(m, d)
-    assert d.ncon > 0
+    return qpos, qvel, ctrl
+
+
+def test_fly_packs(fly_model, fly_system):
+    plan, model = fly_system
+    assert plan.nv == 42
+    assert plan.ncon > 0
+    assert plan.fluid_active
+    assert plan.ncon_ell == int((plan.contact_condim >= 3).sum())
+    assert plan.nefc == plan.nlimit + int(
+        np.where(plan.contact_condim == 1, 1, 3).sum()
+    )
+
+
+def test_fly_fluid_passive_stage(fly_model, fly_system):
+    """qfrc_passive (spring+damper+fluid) vs C at realistic link velocities.
+
+    With density=0.00128/viscosity=0.000185 (cgs) the drag force is O(0.1)
+    in qfrc units at |qvel| ~ 30 cm/s — this assertion fails loudly if the
+    fluid stage is dropped (it was silently missing in round 1)."""
+    m = fly_model
+    plan, model = fly_system
+
+    @jax.jit
+    def run(model, qpos, qvel):
+        data = pm.make_data(plan, model)
+        data = data.replace(qpos=qpos, qvel=qvel)
+        data, _ = fwd_position(plan, model, data)
+        return fwd_velocity(plan, model, data)
+
+    for seed in (3, 4):
+        qpos, qvel, _ = _rand_state(m, seed, qvel_scale=30.0)
+        d = mujoco.MjData(m)
+        d.qpos[:] = qpos
+        d.qvel[:] = qvel
+        mujoco.mj_forward(m, d)
+        out = run(model, jnp.asarray(qpos, jnp.float32), jnp.asarray(qvel, jnp.float32))
+        a = np.asarray(out.qfrc_passive, np.float64)
+        b = d.qfrc_passive
+        # the fluid term is O(1e-1); assert against ITS scale, not |qacc|
+        scale = max(np.abs(b).max(), 1e-6)
+        assert np.abs(a - b).max() / scale < 1e-4, (
+            f"qfrc_passive rel err {np.abs(a - b).max() / scale:.2e}"
+        )
+        # and the fluid term must actually be present: zero it and the C
+        # comparison must break
+        assert np.abs(b).max() > 0.01
+
+
+def test_fly_forward_parity_elliptic(fly_model, fly_system):
+    """Converged qacc parity with the elliptic cone + fluid forces on."""
+    m = fly_model
+    plan, model = fly_system
 
     @jax.jit
     def run(model, qpos, qvel, ctrl):
@@ -64,9 +110,113 @@ def test_fly_forward_parity(fly_model):
         return forward(plan, model, data)
 
     f32 = lambda x: jnp.asarray(x, jnp.float32)
+    for seed in (0, 3):
+        qpos, qvel, ctrl = _rand_state(m, seed, qvel_scale=10.0)
+        d = mujoco.MjData(m)
+        d.qpos[:] = qpos
+        d.qvel[:] = qvel
+        d.ctrl[:] = ctrl
+        mujoco.mj_forward(m, d)
+        assert d.ncon > 0
+        data = run(model, f32(qpos), f32(qvel), f32(ctrl))
+        for name, tol in [("qacc_smooth", 1e-3), ("qacc", 2e-2)]:
+            a = np.asarray(getattr(data, name), np.float64)
+            b = getattr(d, name)
+            err = np.abs(a - b).max() / max(1.0, np.abs(b).max())
+            assert err < tol, f"seed {seed} {name}: rel err {err:.2e}"
+
+
+def test_fly_solver_objective_not_worse_than_c(fly_model, fly_system):
+    """Both engines minimize the same cost; ours must score <= C's solution
+    on C's own objective (evaluated via mj_constraintUpdate)."""
+    m = fly_model
+    plan, model = fly_system
+
+    @jax.jit
+    def run(model, qpos, qvel, ctrl):
+        data = pm.make_data(plan, model)
+        data = data.replace(qpos=qpos, qvel=qvel, ctrl=ctrl)
+        return forward(plan, model, data)
+
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    qpos, qvel, ctrl = _rand_state(m, 1, qvel_scale=10.0)
+    d = mujoco.MjData(m)
+    d.qpos[:] = qpos
+    d.qvel[:] = qvel
+    d.ctrl[:] = ctrl
+    mujoco.mj_forward(m, d)
+    assert d.ncon > 0
     data = run(model, f32(qpos), f32(qvel), f32(ctrl))
-    for name, tol in [("qacc_smooth", 1e-3), ("qacc", 1e-3)]:
-        a = np.asarray(getattr(data, name), np.float64)
-        b = getattr(d, name)
-        err = np.abs(a - b).max() / max(1.0, np.abs(b).max())
-        assert err < tol, f"{name}: rel err {err:.2e}"
+
+    M = np.zeros((m.nv, m.nv))
+    mujoco.mj_fullM(m, d, M)
+    Jc = d.efc_J.reshape(d.nefc, m.nv)
+
+    def phi_c(x):
+        jar = (Jc @ x - d.efc_aref).reshape(-1, 1)
+        cost = np.zeros((1, 1))
+        mujoco.mj_constraintUpdate(m, d, jar, cost, 0)
+        dx = x - d.qacc_smooth
+        return 0.5 * dx @ M @ dx + cost[0, 0]
+
+    ours = phi_c(np.asarray(data.qacc, np.float64))
+    theirs = phi_c(d.qacc)
+    # small slack for f32 qacc round-trip
+    assert ours <= theirs * (1 + 1e-4) + 1e-6, (ours, theirs)
+
+
+def test_elliptic_force_law_vs_c():
+    """Closed-form cone projection (force + cost + zones) vs
+    mj_constraintUpdate on a toy model with mu1 != mu2 and impratio != 1."""
+    xml = """
+    <mujoco>
+      <option cone="elliptic" impratio="3" timestep="0.002" solver="CG"/>
+      <worldbody>
+        <geom name="floor" type="plane" size="5 5 .1"/>
+        <body pos="0 0 0.095">
+          <joint type="free"/>
+          <geom name="ball" type="sphere" size="0.1" condim="3"/>
+        </body>
+      </worldbody>
+      <contact>
+        <pair geom1="floor" geom2="ball" condim="3"
+              friction="0.8 0.5 0.003 0.001 0.001"/>
+      </contact>
+    </mujoco>"""
+    m = mujoco.MjModel.from_xml_string(xml)
+    m.opt.jacobian = 0
+    d = mujoco.MjData(m)
+    d.qvel[:] = [0.3, -0.2, 0.05, 0.4, -0.1, 0.2]
+    mujoco.mj_forward(m, d)
+    assert d.nefc == 3
+
+    # our efc metadata for one elliptic block with C's D rows
+    D = jnp.asarray(d.efc_D)
+    mu = d.contact.friction[0]
+    ell = slv._EllConst(
+        sqrt_d=jnp.sqrt(D)[None, :],
+        mu_t=jnp.asarray([mu[0] / np.sqrt(m.opt.impratio)]),
+    )
+
+    class _FakePlan:
+        nefc = 3
+        ncon_ell = 1
+
+    efc = type("E", (), {"D": D})()
+    for u in [
+        [0.6179, -0.7322, -3.3787],  # middle zone
+        [-0.5, 0.01, -0.02],  # bottom
+        [0.5, 0.01, 0.02],  # top
+        [-0.1, 2.0, 1.0],
+        [1.0, 5.0, 0.0],
+        [0.05, -0.3, 0.2],
+    ]:
+        jar = np.asarray(u, np.float64)
+        cost = np.zeros((1, 1))
+        mujoco.mj_constraintUpdate(m, d, jar.reshape(-1, 1), cost, 0)
+        c_force = d.efc_force.copy()
+        f = np.asarray(slv._force(_FakePlan, efc, ell, jnp.asarray(jar)))
+        s = float(slv._cost_rows(_FakePlan, efc, ell, jnp.asarray(jar)))
+        # tests run in f32 (conftest); tolerances sized for f32 accumulation
+        np.testing.assert_allclose(f, c_force, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(s, cost[0, 0], rtol=1e-4, atol=1e-6)

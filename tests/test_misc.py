@@ -55,3 +55,55 @@ def test_env_registry():
     assert made == {"foo": 1}
     with pytest.raises(KeyError):
         envs.get_environment("nonexistent_env")
+
+
+def test_put_model_loud_rejections():
+    """Unsupported solver/integrator/fluidshape raise instead of silently
+    degrading (VERDICT round 1: newton silently ran CG)."""
+    import mujoco
+
+    from track_mjx_tpu.physics import model as pm
+
+    base = """
+    <mujoco>
+      <option {opt}/>
+      <worldbody>
+        <body pos="0 0 1">
+        <joint type="hinge" axis="0 1 0" limited="true" range="-1 1"/>
+        <geom type="capsule" size="0.05 0.2" {geom}/></body>
+      </worldbody>
+    </mujoco>"""
+
+    def build(opt="", geom=""):
+        return mujoco.MjModel.from_xml_string(base.format(opt=opt, geom=geom))
+
+    from track_mjx_tpu.physics import forward as fwd
+
+    # Newton/PGS solver: packs, but the constraint solve refuses to trace
+    # (kinematic-only models carrying the MuJoCo-default Newton still pack)
+    for name in ("Newton", "PGS"):
+        plan_n, model_n = pm.put_model(build(opt=f'solver="{name}"'))
+        assert plan_n.nefc > 0  # the joint limit row makes the solver run
+        with pytest.raises(NotImplementedError, match="solver"):
+            fwd.forward(plan_n, model_n, pm.make_data(plan_n, model_n))
+    # non-Euler integrator: packs (kinematic-only models may request RK4)
+    # but refuses to step
+    m_rk4 = build(opt='integrator="RK4" solver="CG"')
+    plan_rk4, model_rk4 = pm.put_model(m_rk4)
+    with pytest.raises(NotImplementedError, match="integrator"):
+        fwd.euler(plan_rk4, model_rk4, pm.make_data(plan_rk4, model_rk4))
+    # per-geom ellipsoid fluid model
+    with pytest.raises(NotImplementedError, match="fluid"):
+        pm.put_model(build(opt='solver="CG" density="1.2"',
+                           geom='fluidshape="ellipsoid"'))
+    # supported baseline compiles
+    plan, model = pm.put_model(build(opt='solver="CG"'))
+    assert plan.nv == 1
+
+
+def test_tracking_env_newton_request_raises():
+    """Env construction with solver='newton' surfaces the loud rejection."""
+    from track_mjx_tpu.testing import make_toy_env
+
+    with pytest.raises(NotImplementedError, match="solver"):
+        make_toy_env(solver="newton")

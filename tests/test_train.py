@@ -218,7 +218,6 @@ class TestPreemption:
         ckpt_dir.mkdir()
         cb = preemption.create_checkpoint_callback(cfg, "run3", ckpt_dir, "wandb3")
         cb(7)
-        state = preemption._read_json_with_lock(
-            preemption._get_run_state_file_path(cfg)
-        )
+        store = preemption.RunStateStore(cfg)
+        state = store._read_locked()
         assert state["latest_checkpoint_step"] == 7

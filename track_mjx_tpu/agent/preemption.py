@@ -1,19 +1,31 @@
-"""Preemption auto-resume: run-state JSON persistence and recovery.
+"""Preemption auto-resume: durable run-state records keyed by (job, config).
 
-Behavioral parity with track_mjx/agent/preemption.py:
-- run-state JSON named run_state_{job_id}_{config_hash}.json in model_path
-  (:68-76); job id from SLURM array / SLURM / PBS / SGE env or host+pid
-  (:32-65); config MD5 hash over a sorted JSON dump (:24-29);
-- atomic tempfile+rename writes (:79-91), fcntl shared-lock reads (:94-108);
-- discover_existing_run_state validates keys, config hash, checkpoint dir and
-  latest Orbax step (:111-173); save/cleanup/callback (:176-253).
+Equivalent capability to track_mjx/agent/preemption.py (run-state JSON files
+that let a requeued job rediscover its checkpoint + wandb run), redesigned
+around a single ``RunStateStore`` object that owns the identity computation
+(scheduler job id + config hash), the on-disk record format, and the
+validation pipeline. On TPU pods this is the slice-preemption resume
+contract, and it is multihost-aware: only the coordinator process writes or
+removes records, so N hosts restarting simultaneously cannot race each other
+on the shared filesystem (the single-process reference has no such layer).
 
-On TPU this is the pod-slice-preemption resume contract: the same run-state
-file drives restart-with-restore when the scheduler requeues the job.
+Durability properties (same guarantees the reference provides):
+- writes are tempfile+rename, so readers never observe a torn file;
+- reads take a shared fcntl lock, so concurrent array tasks on one node
+  cannot interleave with a writer on NFS-like filesystems;
+- a record is only acted on after validation: required keys present, config
+  hash matches the current run, the checkpoint directory exists and holds at
+  least one committed Orbax step.
+
+File format on disk (JSON, one file per job+config):
+    run_state_{job_id}_{config_hash}.json in logging_config.model_path
+with keys run_id / checkpoint_path / wandb_run_id / config_hash / timestamp
+[/ latest_checkpoint_step].
 """
 
 from __future__ import annotations
 
+import dataclasses
 import fcntl
 import hashlib
 import json
@@ -23,13 +35,34 @@ import socket
 import tempfile
 import time
 from pathlib import Path
-from typing import Any, Dict, Optional, Union
+from typing import Any, Callable, Dict, Optional, Union
 
-import orbax.checkpoint as ocp
+_REQUIRED_KEYS = ("run_id", "checkpoint_path", "wandb_run_id", "config_hash")
+
+# scheduler identity probes, most specific first: (prefix, env keys, n_optional
+# trailing keys). The first probe whose required keys are all set wins.
+_SCHEDULERS = (
+    ("slurm", ("SLURM_ARRAY_JOB_ID", "SLURM_ARRAY_TASK_ID"), 0),
+    ("slurm", ("SLURM_JOB_ID",), 0),
+    ("pbs", ("PBS_JOBID",), 0),
+    ("sge", ("JOB_ID", "SGE_TASK_ID"), 1),
+)
 
 
-def _to_plain_dict(cfg) -> dict:
-    """Best-effort conversion of a config object to a plain dict."""
+def job_identifier() -> str:
+    """Stable id for this job across a preemption/requeue cycle."""
+    env = os.environ
+    for prefix, keys, n_optional in _SCHEDULERS:
+        required = keys[: len(keys) - n_optional] if n_optional else keys
+        if all(env.get(k) for k in required):
+            present = [env[k] for k in keys if env.get(k)]
+            return "_".join((prefix, *present))
+    # no scheduler: host+pid still dedupes concurrent local runs, though it
+    # cannot survive a restart (nothing identifies "the same" local run)
+    return f"local_{socket.gethostname()}_{os.getpid()}"
+
+
+def _config_dict(cfg) -> dict:
     if isinstance(cfg, dict):
         return cfg
     if hasattr(cfg, "to_dict"):
@@ -39,119 +72,176 @@ def _to_plain_dict(cfg) -> dict:
     raise TypeError(f"cannot hash config of type {type(cfg)}")
 
 
-def _hash_config(cfg) -> str:
-    """Stable 12-hex-char MD5 of the config contents."""
-    cfg_dict = _to_plain_dict(cfg)
-    cfg_str = json.dumps(cfg_dict, sort_keys=True, default=str)
-    return hashlib.md5(cfg_str.encode()).hexdigest()[:12]
+def config_hash(cfg) -> str:
+    """12-hex-char digest over the sorted JSON dump of the config."""
+    payload = json.dumps(_config_dict(cfg), sort_keys=True, default=str)
+    return hashlib.md5(payload.encode()).hexdigest()[:12]
 
 
-def _get_job_identifier() -> str:
-    """Unique job id: SLURM array > SLURM > PBS > SGE > host+pid."""
-    job_id = os.environ.get("SLURM_ARRAY_JOB_ID")
-    task_id = os.environ.get("SLURM_ARRAY_TASK_ID")
-    if job_id and task_id:
-        return f"slurm_{job_id}_{task_id}"
-    job_id = os.environ.get("SLURM_JOB_ID")
-    if job_id:
-        return f"slurm_{job_id}"
-    pbs_job_id = os.environ.get("PBS_JOBID")
-    if pbs_job_id:
-        return f"pbs_{pbs_job_id}"
-    sge_job_id = os.environ.get("JOB_ID")
-    sge_task_id = os.environ.get("SGE_TASK_ID")
-    if sge_job_id:
-        if sge_task_id:
-            return f"sge_{sge_job_id}_{sge_task_id}"
-        return f"sge_{sge_job_id}"
-    return f"local_{socket.gethostname()}_{os.getpid()}"
-
-
-def _get_run_state_file_path(cfg) -> Path:
-    cfg_dict = _to_plain_dict(cfg)
-    base_path = Path(cfg_dict["logging_config"]["model_path"]).resolve()
-    return base_path / f"run_state_{_get_job_identifier()}_{_hash_config(cfg)}.json"
-
-
-def _atomic_write_json(file_path: Path, data: Dict[str, Any]) -> None:
-    """Write-then-rename so readers never observe a torn file."""
-    file_path.parent.mkdir(parents=True, exist_ok=True)
-    with tempfile.NamedTemporaryFile(
-        mode="w", dir=file_path.parent, delete=False, suffix=".tmp"
-    ) as tmp_file:
-        json.dump(data, tmp_file, indent=2)
-        tmp_name = tmp_file.name
-    Path(tmp_name).rename(file_path)
-
-
-def _read_json_with_lock(file_path: Path) -> Optional[Dict[str, Any]]:
-    """Shared-lock JSON read (protects against concurrent array tasks)."""
-    if not file_path.exists():
-        return None
+def _is_coordinator() -> bool:
+    """True on the process allowed to mutate shared run-state files."""
     try:
-        with open(file_path, "r") as f:
-            fcntl.flock(f.fileno(), fcntl.LOCK_SH)
-            data = json.load(f)
-            fcntl.flock(f.fileno(), fcntl.LOCK_UN)
-            return data
-    except (json.JSONDecodeError, OSError) as e:
-        logging.warning("Failed to read run state file %s: %s", file_path, e)
-        return None
+        import jax
+
+        return jax.process_index() == 0
+    except Exception:  # noqa: BLE001 - before jax init, act as coordinator
+        return True
 
 
-def discover_existing_run_state(cfg) -> Optional[Dict[str, Any]]:
-    """Finds and validates a prior run state for this job+config, returning it
-    (with latest_checkpoint_step filled in) or None."""
-    state_file_path = _get_run_state_file_path(cfg)
-    logging.info("Looking for existing run state at: %s", state_file_path)
+@dataclasses.dataclass
+class RunStateStore:
+    """Owns the run-state record for one (job, config) identity."""
 
-    run_state = _read_json_with_lock(state_file_path)
-    if not run_state:
-        logging.info("No existing run state found")
-        return None
+    cfg: Any
 
-    required_keys = ["run_id", "checkpoint_path", "wandb_run_id", "config_hash"]
-    if not all(key in run_state for key in required_keys):
-        logging.warning("Run state file is missing required keys, ignoring")
-        return None
+    def __post_init__(self):
+        cfg_dict = _config_dict(self.cfg)
+        base = Path(cfg_dict["logging_config"]["model_path"]).resolve()
+        self._hash = config_hash(self.cfg)
+        self._path = base / f"run_state_{job_identifier()}_{self._hash}.json"
 
-    current_config_hash = _hash_config(cfg)
-    if run_state["config_hash"] != current_config_hash:
-        logging.warning(
-            "Config hash mismatch (saved: %s, current: %s), ignoring run state",
-            run_state["config_hash"],
-            current_config_hash,
-        )
-        return None
+    @property
+    def path(self) -> Path:
+        return self._path
 
-    checkpoint_path = Path(run_state["checkpoint_path"])
+    # ---- record IO -------------------------------------------------------
+
+    def _read_locked(self) -> Optional[Dict[str, Any]]:
+        if not self._path.exists():
+            return None
+        try:
+            with open(self._path, "r") as f:
+                fcntl.flock(f.fileno(), fcntl.LOCK_SH)
+                try:
+                    return json.load(f)
+                finally:
+                    fcntl.flock(f.fileno(), fcntl.LOCK_UN)
+        except (json.JSONDecodeError, OSError) as e:
+            logging.warning("Failed to read run state %s: %s", self._path, e)
+            return None
+
+    def _write_atomic(self, record: Dict[str, Any]) -> None:
+        self._path.parent.mkdir(parents=True, exist_ok=True)
+        with tempfile.NamedTemporaryFile(
+            mode="w", dir=self._path.parent, delete=False, suffix=".tmp"
+        ) as tmp:
+            json.dump(record, tmp, indent=2)
+            name = tmp.name
+        Path(name).rename(self._path)
+
+    # ---- lifecycle -------------------------------------------------------
+
+    def discover(self) -> Optional[Dict[str, Any]]:
+        """Returns a validated prior record (with latest_checkpoint_step
+        filled from the Orbax directory) or None."""
+        logging.info("Looking for existing run state at: %s", self._path)
+        record = self._read_locked()
+        if not record:
+            logging.info("No existing run state found")
+            return None
+        if not all(k in record for k in _REQUIRED_KEYS):
+            logging.warning("Run state file is missing required keys, ignoring")
+            return None
+        if record["config_hash"] != self._hash:
+            logging.warning(
+                "Config hash mismatch (saved: %s, current: %s), ignoring "
+                "run state",
+                record["config_hash"],
+                self._hash,
+            )
+            return None
+        step = _latest_committed_step(Path(record["checkpoint_path"]))
+        if step is None:
+            return None
+        record["latest_checkpoint_step"] = step
+        logging.info("Found valid run state with checkpoint at step %s", step)
+        return record
+
+    def save(
+        self,
+        run_id: str,
+        checkpoint_path: Union[Path, str],
+        wandb_run_id: str,
+        latest_step: Optional[int] = None,
+    ) -> None:
+        if not _is_coordinator():
+            return
+        record = {
+            "run_id": run_id,
+            "checkpoint_path": str(Path(checkpoint_path).resolve()),
+            "wandb_run_id": wandb_run_id,
+            "config_hash": self._hash,
+            "timestamp": time.time(),
+        }
+        if latest_step is not None:
+            record["latest_checkpoint_step"] = latest_step
+        try:
+            self._write_atomic(record)
+            logging.info("Saved run state to %s", self._path)
+        except Exception as e:  # noqa: BLE001
+            logging.error("Failed to save run state: %s", e)
+
+    def clear(self) -> None:
+        if not _is_coordinator():
+            return
+        try:
+            if self._path.exists():
+                self._path.unlink()
+                logging.info("Cleaned up run state file: %s", self._path)
+        except Exception as e:  # noqa: BLE001
+            logging.warning("Failed to cleanup run state file: %s", e)
+
+    def checkpoint_callback(
+        self, run_id: str, checkpoint_path: Union[Path, str], wandb_run_id: str
+    ) -> Callable[[int], None]:
+        """A per-checkpoint hook that refreshes the record with the new step."""
+
+        def on_checkpoint(step: int):
+            try:
+                self.save(run_id, checkpoint_path, wandb_run_id, latest_step=step)
+            except Exception as e:  # noqa: BLE001
+                logging.warning(
+                    "Failed to update run state after checkpoint save: %s", e
+                )
+
+        return on_checkpoint
+
+
+def _latest_committed_step(checkpoint_path: Path) -> Optional[int]:
+    """Latest committed Orbax step in the directory, or None if unusable."""
+    import orbax.checkpoint as ocp
+
     if not checkpoint_path.exists():
         logging.warning(
-            "Checkpoint directory %s not found, ignoring run state", checkpoint_path
+            "Checkpoint directory %s not found, ignoring run state",
+            checkpoint_path,
         )
         return None
-
     try:
-        ckpt_mgr = ocp.CheckpointManager(
+        mgr = ocp.CheckpointManager(
             checkpoint_path,
             options=ocp.CheckpointManagerOptions(
                 create=False, step_prefix="PPONetwork"
             ),
         )
-        latest_step = ckpt_mgr.latest_step()
-        if latest_step is None:
+        step = mgr.latest_step()
+        if step is None:
             logging.warning(
                 "No valid checkpoints found in directory, ignoring run state"
             )
-            return None
-        run_state["latest_checkpoint_step"] = latest_step
-        logging.info("Found valid run state with checkpoint at step %s", latest_step)
-        return run_state
-    except Exception as e:  # noqa: BLE001 - any access failure means "no resume"
+        return step
+    except Exception as e:  # noqa: BLE001 - any access failure means no resume
         logging.warning(
             "Failed to access checkpoint manager: %s, ignoring run state", e
         )
         return None
+
+
+# ---- functional API (what train.py and tests call) -------------------------
+
+
+def discover_existing_run_state(cfg) -> Optional[Dict[str, Any]]:
+    return RunStateStore(cfg).discover()
 
 
 def save_run_state(
@@ -161,55 +251,16 @@ def save_run_state(
     wandb_run_id: str,
     latest_step: Optional[int] = None,
 ) -> None:
-    """Persists the current run state for discovery after preemption."""
-    state_file_path = _get_run_state_file_path(cfg)
-    if isinstance(checkpoint_path, str):
-        checkpoint_path = Path(checkpoint_path)
-    run_state = {
-        "run_id": run_id,
-        "checkpoint_path": str(checkpoint_path.resolve()),
-        "wandb_run_id": wandb_run_id,
-        "config_hash": _hash_config(cfg),
-        "timestamp": time.time(),
-    }
-    if latest_step is not None:
-        run_state["latest_checkpoint_step"] = latest_step
-    try:
-        _atomic_write_json(state_file_path, run_state)
-        logging.info("Saved run state to %s", state_file_path)
-    except Exception as e:  # noqa: BLE001
-        logging.error("Failed to save run state: %s", e)
+    RunStateStore(cfg).save(run_id, checkpoint_path, wandb_run_id, latest_step)
 
 
 def cleanup_run_state(cfg) -> None:
-    """Removes the run-state file after successful completion."""
-    state_file_path = _get_run_state_file_path(cfg)
-    try:
-        if state_file_path.exists():
-            state_file_path.unlink()
-            logging.info("Cleaned up run state file: %s", state_file_path)
-    except Exception as e:  # noqa: BLE001
-        logging.warning("Failed to cleanup run state file: %s", e)
+    RunStateStore(cfg).clear()
 
 
 def create_checkpoint_callback(
     cfg, run_id: str, checkpoint_path: Union[Path, str], wandb_run_id: str
 ):
-    """Returns a callback refreshing the run state after every checkpoint."""
-
-    def checkpoint_callback(step: int):
-        try:
-            save_run_state(
-                cfg=cfg,
-                run_id=run_id,
-                checkpoint_path=checkpoint_path,
-                wandb_run_id=wandb_run_id,
-                latest_step=step,
-            )
-            logging.debug("Updated run state after checkpoint save at step %s", step)
-        except Exception as e:  # noqa: BLE001
-            logging.warning(
-                "Failed to update run state after checkpoint save: %s", e
-            )
-
-    return checkpoint_callback
+    return RunStateStore(cfg).checkpoint_callback(
+        run_id, checkpoint_path, wandb_run_id
+    )

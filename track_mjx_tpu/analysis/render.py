@@ -1,15 +1,14 @@
 """Offline rendering: ghost-pair models, rollout videos, PCA intention viz.
 
-Behavioral parity with track_mjx/analysis/render.py:
-- ``make_ghost_pair`` (:83-119): MjSpec copy, translucent recolor, attach as a
-  frame -> combined model;
-- ``make_rollout_renderer`` (:122-179): per-walker base XML map, root-body
-  names, CG solver setup, 512x512 mujoco.Renderer;
-- ``render_rollout`` (:182-240): frames from saved qposes, realtime fps =
-  (1/timestep)/physics_steps_per_control_step;
-- ``plot_pca_intention_video``: PCA-of-intention progression video (:243-372,
-  with the reference's undefined-`pca_embedded` bug fixed);
-- ``display_video`` HTML helper (:375-405).
+Equivalent capability to track_mjx/analysis/render.py (ghost-pair rollout
+videos with the same visual conventions: translucent ghost at a -0.2 m x
+offset, red "-0" tracking sites, CG 6/6 playback model, 512x512 default
+renderer), restructured around a per-walker ``WalkerRenderSpec`` registry
+and a spec-assembly pipeline (_load_scaled_spec -> attach_ghost -> compile).
+Also: ``render_rollout`` (frames from saved qposes, realtime fps =
+(1/timestep)/physics_steps_per_control_step), ``plot_pca_intention_video``
+(reference :243-372, with its undefined-`pca_embedded` bug fixed), and the
+``display_video`` notebook helper.
 
 Framework difference: mujoco.Renderer needs a GL backend; when none is
 available (headless TPU hosts without osmesa/EGL), renderer construction
@@ -18,10 +17,11 @@ returns None and callers degrade to metrics-only logging.
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import os
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import mujoco
 import numpy as np
@@ -29,16 +29,39 @@ import numpy as np
 from track_mjx_tpu.envs.walker.base import DEFAULT_ASSET_ROOT
 from track_mjx_tpu.envs.walker.spec_utils import recolour_tree
 
-_BASE_XML_PATHS = {
-    "rodent": str(Path(DEFAULT_ASSET_ROOT) / "rodent/rodent.xml"),
-    "fly": str(Path(DEFAULT_ASSET_ROOT) / "fruitfly/fruitfly_force_fast.xml"),
-    "stick": str(Path(DEFAULT_ASSET_ROOT) / "stick/sungaya_inexpectata_box.xml"),
-}
+# visual conventions shared with the reference implementation
+GHOST_OFFSET = (-0.2, 0.0, 0.0)
+GHOST_RGBA = (0.8, 0.8, 0.8, 0.2)
+TRACKING_SITE_TAG = "-0"  # site-name substring marking mocap tracking sites
+TRACKING_SITE_RGBA = (1.0, 0.0, 0.0, 1.0)
 
-_ROOT_BODY_NAMES = {
-    "rodent": "walker",
-    "fly": "thorax",
-    "stick": "reference_base",
+
+def _fly_xml_path() -> str:
+    # the fly checkout is missing 6 meshes (MISSING_LARGE_BLOBS); the walker
+    # builds from a patched copy with generated placeholders — rendering must
+    # use the same copy or MjSpec.compile fails on the missing .obj files
+    from track_mjx_tpu.envs.walker.fly import ensure_fly_assets
+
+    return str(Path(ensure_fly_assets(DEFAULT_ASSET_ROOT)) / "fruitfly_force_fast.xml")
+
+
+@dataclasses.dataclass(frozen=True)
+class WalkerRenderSpec:
+    """How to rebuild a walker's playback model for offline rendering."""
+
+    xml_path: Callable[[], str]  # lazy: fly assets are materialized on demand
+    root_body: str  # body the ghost copy is attached by
+
+
+RENDER_SPECS: Dict[str, WalkerRenderSpec] = {
+    "rodent": WalkerRenderSpec(
+        lambda: str(Path(DEFAULT_ASSET_ROOT) / "rodent/rodent.xml"), "walker"
+    ),
+    "fly": WalkerRenderSpec(_fly_xml_path, "thorax"),
+    "stick": WalkerRenderSpec(
+        lambda: str(Path(DEFAULT_ASSET_ROOT) / "stick/sungaya_inexpectata_box.xml"),
+        "reference_base",
+    ),
 }
 
 
@@ -64,24 +87,32 @@ def _scale_body_tree(body, s: float) -> None:
         _scale_body_tree(child, s)
 
 
+def _load_scaled_spec(xml_path: str, scale: float) -> mujoco.MjSpec:
+    spec = mujoco.MjSpec.from_file(xml_path)
+    if scale != 1.0:
+        for top in spec.worldbody.bodies:
+            _scale_body_tree(top, scale)
+    return spec
+
+
+def attach_ghost(spec: mujoco.MjSpec, root_body_name: str) -> None:
+    """Adds a translucent copy of the walker (prefix "ghost") to `spec`,
+    offset by GHOST_OFFSET, for rollout-vs-reference playback."""
+    ghost = spec.copy()
+    for top in ghost.worldbody.bodies:
+        recolour_tree(top, rgba=list(GHOST_RGBA))
+    frame = spec.worldbody.add_frame(pos=list(GHOST_OFFSET), quat=[0, 0, 0, 0])
+    frame.attach_body(ghost.body(root_body_name), "", "ghost")
+
+
 def make_ghost_pair(
     xml_path: str, *, scale: float = 1.0, root_body_name: str = "root"
 ) -> Tuple[mujoco.MjSpec, mujoco.MjModel, str]:
     """Builds a combined model: the walker plus a translucent ghost copy."""
-    base = mujoco.MjSpec.from_file(xml_path)
-    for top in base.worldbody.bodies:
-        _scale_body_tree(top, scale)
-
-    ghost = base.copy()
-    for top in ghost.worldbody.bodies:
-        recolour_tree(top, rgba=[0.8, 0.8, 0.8, 0.2])
-
-    frame = base.worldbody.add_frame(pos=[-0.2, 0, 0.0], quat=[0, 0, 0, 0])
-    frame.attach_body(ghost.body(root_body_name), "", "ghost")
-
-    model = base.compile()
-    xml = base.to_xml()
-    return base, model, xml
+    spec = _load_scaled_spec(xml_path, scale)
+    attach_ghost(spec, root_body_name)
+    model = spec.compile()
+    return spec, model, spec.to_xml()
 
 
 def _mp4_writable() -> bool:
@@ -107,41 +138,41 @@ def gl_available() -> bool:
         return False
 
 
+def build_playback_model(
+    walker_name: str, rescale_factor: float, render_ghost: bool = True
+) -> mujoco.MjModel:
+    """Compiles the playback model (walker [+ ghost]) for a walker type,
+    configured for kinematic replay: CG 6/6 (the playback mj_forward never
+    needs the training model's solver settings) and red tracking sites."""
+    try:
+        spec_info = RENDER_SPECS[walker_name]
+    except KeyError:
+        raise ValueError(f"Unknown walker_name: {walker_name}")
+    spec = _load_scaled_spec(spec_info.xml_path(), rescale_factor)
+    if render_ghost:
+        attach_ghost(spec, spec_info.root_body)
+    mj_model = spec.compile()
+    mj_model.opt.solver = mujoco.mjtSolver.mjSOL_CG
+    mj_model.opt.iterations = 6
+    mj_model.opt.ls_iterations = 6
+    for i in range(mj_model.nsite):
+        if TRACKING_SITE_TAG in mj_model.site(i).name:
+            mj_model.site(i).rgba = list(TRACKING_SITE_RGBA)
+    return mj_model
+
+
 def make_rollout_renderer(
     cfg: Any, render_ghost: bool = True
 ) -> Tuple[
     Optional[mujoco.Renderer], mujoco.MjModel, mujoco.MjData, mujoco.MjvOption
 ]:
     """Creates (renderer | None, model, data, scene options) for rollouts."""
-    walker_name = cfg["env_config"]["walker_name"]
-    if walker_name not in _BASE_XML_PATHS:
-        raise ValueError(f"Unknown walker_name: {walker_name}")
-    xml_path = _BASE_XML_PATHS[walker_name]
-    rescale_factor = cfg["walker_config"]["rescale_factor"]
-    if render_ghost:
-        _, mj_model, _ = make_ghost_pair(
-            xml_path,
-            scale=rescale_factor,
-            root_body_name=_ROOT_BODY_NAMES[walker_name],
-        )
-    else:
-        base = mujoco.MjSpec.from_file(xml_path)
-        for top in base.worldbody.bodies:
-            _scale_body_tree(top, rescale_factor)
-        mj_model = base.compile()
-
-    mj_model.opt.solver = mujoco.mjtSolver.mjSOL_CG
-    mj_model.opt.iterations = 6
-    mj_model.opt.ls_iterations = 6
+    mj_model = build_playback_model(
+        cfg["env_config"]["walker_name"],
+        cfg["walker_config"]["rescale_factor"],
+        render_ghost,
+    )
     mj_data = mujoco.MjData(mj_model)
-
-    site_ids = [
-        mj_model.site(i).id
-        for i in range(mj_model.nsite)
-        if "-0" in mj_model.site(i).name
-    ]
-    for sid in site_ids:
-        mj_model.site(sid).rgba = [1, 0, 0, 1]
 
     scene_option = mujoco.MjvOption()
     scene_option.sitegroup[:] = [1, 1, 1, 1, 1, 0]

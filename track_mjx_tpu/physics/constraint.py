@@ -1,4 +1,4 @@
-"""Constraint row assembly: joint limits + pyramidal contact friction.
+"""Constraint row assembly: joint limits + contact friction rows.
 
 Produces dense, fixed-shape efc arrays (J, aref, D, active) consumed by the CG
 solver. Inactive candidate rows (limit not violated / contact separated) are
@@ -7,6 +7,18 @@ shapes — the TPU-native replacement for mj_makeConstraint's dynamic row lists.
 Impedance/reference math follows MuJoCo's soft-constraint model
 (mj_makeImpedance / mj_referenceConstraint). Reference consumes this stage via
 mjx (SURVEY.md section 2b).
+
+Both friction-cone types are supported (opt.cone):
+
+- pyramidal: 2*(condim-1) unilateral rows per contact (jn +/- mu_i jt_i).
+- elliptic: condim rows per contact [normal, tangent...] forming one cone
+  block, placed contiguously at the END of the row list so the solver can
+  reshape them to (ncon_ell, condim). Row parameters were reverse-engineered
+  against MuJoCo C (mj_instantiateContact): friction rows reuse the normal
+  row's impedance, aref_fric = -b*jv (no position term), and
+  D_fric_i = D_normal * impratio * (mu_i/mu_1)^2. The fly workload requires
+  this (fruitfly_force_fast.xml cone="elliptic"); solreffriction is not
+  supported (geom-derived contacts always carry solreffriction = 0).
 """
 
 from __future__ import annotations
@@ -19,18 +31,24 @@ import numpy as np
 from flax import struct
 
 from track_mjx_tpu.physics.collision import Contact, contact_bodies
-from track_mjx_tpu.physics.model import Data, Model, PhysicsPlan
+from track_mjx_tpu.physics.model import CONE_ELLIPTIC, Data, Model, PhysicsPlan
 
 
 @struct.dataclass
 class EfcData:
-    """Dense constraint rows (nefc static)."""
+    """Dense constraint rows (nefc static).
+
+    For elliptic cones, the last 3*ncon_ell rows are per-contact blocks of
+    [normal, tangent1, tangent2]; `ell_mu` carries each block's mu_1 (the
+    first tangential friction coefficient). For pyramidal models ell_mu is
+    empty and every row is an independent unilateral row."""
 
     J: jax.Array  # (nefc, nv)
     aref: jax.Array  # (nefc,)
     D: jax.Array  # (nefc,)
     pos: jax.Array  # (nefc,) constraint violation (debug/metrics)
     active_row: jax.Array  # (nefc,) bool: candidate row is instantiated
+    ell_mu: jax.Array  # (ncon_ell,) mu_1 per elliptic contact block
 
 
 def _kbi(
@@ -97,6 +115,7 @@ def make_constraint(
     dtype = data.qpos.dtype
     nv = plan.nv
     rows_J, rows_aref, rows_D, rows_pos, rows_act = [], [], [], [], []
+    ell_mu = jnp.zeros(0, dtype)
 
     # --- joint limits (hinge/slide), one row per limited joint ---
     jids = plan.limited_jnt_ids
@@ -174,7 +193,37 @@ def make_constraint(
             rows_pos.append(pos[cd1])
             rows_act.append(active[cd1])
 
-        if len(cd3):
+        if len(cd3) and plan.cone == CONE_ELLIPTIC:
+            # elliptic: condim rows per contact [normal, t1, t2], one block
+            mu = contact.friction[cd3, :2]  # (n3, 2) tangential
+            jn3, jt3 = jn[cd3], jt[cd3]
+            J = jnp.concatenate([jn3[:, None], jt3], axis=1)  # (n3, 3, nv)
+            J = jnp.where(active[cd3, None, None], J, 0.0)
+            jv = jnp.einsum("crv,v->cr", J, data.qvel)
+            aref = -b[cd3, None] * jv
+            # normal row gets the position feedback term; friction rows don't
+            aref = aref.at[:, 0].add(-k[cd3] * imp[cd3] * pos[cd3])
+            aref = jnp.where(active[cd3, None], aref, 0.0)
+            imp3 = imp[cd3]
+            D_n = imp3 / jnp.maximum(
+                (1.0 - imp3) * invweight_n[cd3], 1e-12
+            )
+            mu1 = jnp.maximum(mu[:, 0], 1e-12)
+            D_f = D_n[:, None] * model.opt_impratio * (mu / mu1[:, None]) ** 2
+            D = jnp.concatenate([D_n[:, None], D_f], axis=1)
+            nrows = len(cd3) * 3
+            rows_J.append(J.reshape(nrows, nv))
+            rows_aref.append(aref.reshape(nrows))
+            rows_D.append(D.reshape(nrows))
+            rows_pos.append(
+                jnp.stack(
+                    [pos[cd3], jnp.zeros_like(pos[cd3]), jnp.zeros_like(pos[cd3])],
+                    axis=1,
+                ).reshape(nrows)
+            )
+            rows_act.append(jnp.repeat(active[cd3], 3))
+            ell_mu = mu1
+        elif len(cd3):
             # pyramid rows: jn +/- mu_i * jt_i for i in (0, 1)
             mu = contact.friction[cd3, :2]  # (n3, 2) tangential
             jn3, jt3 = jn[cd3], jt[cd3]
@@ -207,6 +256,7 @@ def make_constraint(
             D=jnp.zeros(0, dtype),
             pos=jnp.zeros(0, dtype),
             active_row=jnp.zeros(0, bool),
+            ell_mu=ell_mu,
         )
     return EfcData(
         J=jnp.concatenate(rows_J),
@@ -214,4 +264,5 @@ def make_constraint(
         D=jnp.concatenate(rows_D),
         pos=jnp.concatenate(rows_pos),
         active_row=jnp.concatenate(rows_act),
+        ell_mu=ell_mu,
     )

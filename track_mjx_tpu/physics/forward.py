@@ -130,8 +130,21 @@ def _advance_act(plan: PhysicsPlan, model: Model, data: Data, dt) -> jax.Array:
     return act
 
 
+INT_EULER = 0
+
+
 def euler(plan: PhysicsPlan, model: Model, data: Data) -> Data:
-    """Semi-implicit Euler with implicit joint damping (mj_Euler parity)."""
+    """Semi-implicit Euler with implicit joint damping (mj_Euler parity).
+
+    Raises at trace time for any other integrator: all reference workloads
+    compile to Euler, and kinematic-only models (e.g. the stick ghost walker,
+    whose XML requests RK4 but is never stepped) pack fine and only fail if
+    actually integrated."""
+    if plan.integrator != INT_EULER:
+        raise NotImplementedError(
+            f"integrator {plan.integrator} not supported: only Euler is "
+            "implemented (all reference workloads compile to Euler)"
+        )
     with jax.default_matmul_precision("highest"):
         return _euler_impl(plan, model, data)
 

@@ -62,8 +62,9 @@ class PhysicsPlan:
     nsensor: int
     nsensordata: int
     ncon: int  # static candidate contact count
-    nefc: int  # static constraint row count (limits + friction pyramid)
+    nefc: int  # static constraint row count (limits + friction rows)
     nlimit: int
+    ncon_ell: int  # elliptic cone blocks (last 3*ncon_ell efc rows); 0 if pyramidal
 
     # topology (numpy, trace-time constants)
     body_parentid: np.ndarray
@@ -111,6 +112,7 @@ class PhysicsPlan:
     iterations: int
     ls_iterations: int
     disableflags: int
+    fluid_active: bool  # density/viscosity/wind nonzero -> inertia-box model
 
     def __hash__(self):
         return id(self)
@@ -129,6 +131,9 @@ class Model:
     opt_tolerance: jax.Array
     opt_ls_tolerance: jax.Array
     opt_impratio: jax.Array
+    opt_density: jax.Array
+    opt_viscosity: jax.Array
+    opt_wind: jax.Array
     qpos0: jax.Array
     qpos_spring: jax.Array
     body_pos: jax.Array
@@ -380,14 +385,10 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> tuple[PhysicsPlan, Model]
     condims = set(int(c) for c in m.geom_condim)
     if condims - {1, 3}:
         raise NotImplementedError(f"condim {condims} not supported (need 1 or 3)")
-    if int(m.opt.cone) == CONE_ELLIPTIC:
-        # TODO(round 2): native elliptic cone support in the solver; pyramid
-        # is a standard approximation and the supported configs request CG
-        import logging
-
-        logging.warning(
-            "model requests the elliptic friction cone; approximating with "
-            "the pyramidal cone"
+    if np.abs(m.geom_fluid).any():
+        raise NotImplementedError(
+            "per-geom ellipsoid fluid model (fluidshape) not supported; only "
+            "the inertia-box model (opt.density/viscosity) is implemented"
         )
 
     pair_groups = _collision_pairs(m)
@@ -413,8 +414,12 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> tuple[PhysicsPlan, Model]
         & ((m.jnt_type == JNT_HINGE) | (m.jnt_type == JNT_SLIDE))
     )[0]
     nlimit = len(limited_jnt)
-    # efc rows: limits (1 each) + per-contact pyramidal rows
-    rows_per_con = np.where(contact_condim == 1, 1, 2 * (contact_condim - 1))
+    # efc rows: limits (1 each) + per-contact friction rows (pyramidal:
+    # 2*(condim-1) unilateral rows; elliptic: condim rows forming one cone)
+    if int(m.opt.cone) == CONE_ELLIPTIC:
+        rows_per_con = np.where(contact_condim == 1, 1, contact_condim)
+    else:
+        rows_per_con = np.where(contact_condim == 1, 1, 2 * (contact_condim - 1))
     nefc = nlimit + int(rows_per_con.sum())
 
     tendon_moment, tendon_len_mat, tendon_len_const = _fixed_tendon_matrices(m)
@@ -437,6 +442,11 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> tuple[PhysicsPlan, Model]
         ncon=ncon,
         nefc=nefc,
         nlimit=nlimit,
+        ncon_ell=(
+            int((contact_condim >= 3).sum())
+            if int(m.opt.cone) == CONE_ELLIPTIC
+            else 0
+        ),
         body_parentid=m.body_parentid.copy(),
         body_rootid=m.body_rootid.copy(),
         body_jntadr=m.body_jntadr.copy(),
@@ -478,6 +488,11 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> tuple[PhysicsPlan, Model]
         iterations=int(m.opt.iterations),
         ls_iterations=int(m.opt.ls_iterations),
         disableflags=int(m.opt.disableflags),
+        fluid_active=bool(
+            m.opt.density > 0
+            or m.opt.viscosity > 0
+            or np.abs(m.opt.wind).any()
+        ),
     )
 
     a = lambda x: jnp.asarray(x, dtype=dtype)
@@ -487,6 +502,9 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> tuple[PhysicsPlan, Model]
         opt_tolerance=a(m.opt.tolerance),
         opt_ls_tolerance=a(m.opt.ls_tolerance),
         opt_impratio=a(m.opt.impratio),
+        opt_density=a(m.opt.density),
+        opt_viscosity=a(m.opt.viscosity),
+        opt_wind=a(m.opt.wind),
         qpos0=a(m.qpos0),
         qpos_spring=a(m.qpos_spring),
         body_pos=a(m.body_pos),

@@ -1,9 +1,17 @@
-"""Passive forces: joint springs and dof dampers (mj_passive parity).
+"""Passive forces: joint springs, dof dampers, and fluid drag (mj_passive).
 
-Fluid forces (density/viscosity) are not implemented — the supported models
-set both to zero (rodent.xml / fruitfly xmls); put_model does not guard this
-since MuJoCo defaults are zero, but a nonzero setting would simply be ignored
-here. Reference consumes this stage via mjx (SURVEY.md section 2b).
+Fluid forces use MuJoCo's inertia-box model (mj_inertiaBoxFluidModel): each
+body with mass is approximated by its equivalent-inertia box; viscous (linear
+in velocity) and density (quadratic drag) wrenches are computed in the body
+inertia frame and mapped to qfrc through the com-frame dof jacobian. The fly
+workload depends on this (fruitfly_force_fast.xml sets density=0.00128,
+viscosity=0.000185 in cgs units); the reference consumes the same model via
+mjx (SURVEY.md section 2b). The per-geom ellipsoid fluid model (fluidshape)
+is not supported and put_model rejects it loudly.
+
+The whole fluid stage is vectorized over bodies: local-frame wrenches are
+computed with (nbody, 3) elementwise math, then scattered to dofs with one
+(nv, nbody) masked matmul — no per-body loop on device.
 """
 
 from __future__ import annotations
@@ -23,9 +31,103 @@ from track_mjx_tpu.physics.model import (
     JNT_SLIDE,
 )
 
+_MINVAL = 1e-15
+
+
+def _body_dof_mask(plan: PhysicsPlan) -> np.ndarray:
+    """mask[b, i] = 1 if dof i is an ancestor dof of body b (trace-time)."""
+    nbody, nv = plan.nbody, plan.nv
+    mask = np.zeros((nbody, nv), dtype=np.float64)
+    for b in range(1, nbody):
+        body = b
+        while body > 0 and plan.body_dofnum[body] == 0:
+            body = int(plan.body_parentid[body])
+        if body == 0:
+            continue
+        i = int(plan.body_dofadr[body]) + int(plan.body_dofnum[body]) - 1
+        while i >= 0:
+            mask[b, i] = 1.0
+            i = int(plan.dof_parentid[i])
+    return mask
+
+
+def fluid(plan: PhysicsPlan, model: Model, data: Data) -> jax.Array:
+    """Inertia-box fluid forces -> qfrc contribution (nv,)."""
+    dtype = data.qpos.dtype
+    mass = model.body_mass
+    inert = model.body_inertia  # (nbody, 3) principal moments
+
+    # equivalent inertia box: full side lengths
+    safe_mass = jnp.maximum(mass, _MINVAL)
+    box = jnp.stack(
+        [
+            jnp.sqrt(
+                jnp.maximum(
+                    _MINVAL,
+                    inert[:, (i + 1) % 3] + inert[:, (i + 2) % 3] - inert[:, i],
+                )
+                / safe_mass
+                * 6.0
+            )
+            for i in range(3)
+        ],
+        axis=1,
+    )  # (nbody, 3)
+
+    # body 6D velocity at xipos, in the inertia (ximat) frame
+    root_com = data.subtree_com[plan.body_rootid]
+    w_world = data.cvel[:, :3]
+    v_world = data.cvel[:, 3:] + jnp.cross(w_world, data.xipos - root_com)
+    # local = R^T * world (ximat columns are local axes in world coords)
+    lw = jnp.einsum("bkj,bk->bj", data.ximat, w_world)
+    lv = jnp.einsum("bkj,bk->bj", data.ximat, v_world)
+    # subtract wind (a pure linear velocity field)
+    lwind = jnp.einsum("bkj,k->bj", data.ximat, model.opt_wind.astype(dtype))
+    lv = lv - lwind
+
+    lfrc_ang = jnp.zeros_like(lw)
+    lfrc_lin = jnp.zeros_like(lv)
+
+    # viscous drag (sphere of equivalent mean diameter)
+    diam = jnp.mean(box, axis=1, keepdims=True)
+    visc = model.opt_viscosity.astype(dtype)
+    lfrc_ang = lfrc_ang - jnp.pi * diam**3 * visc * lw
+    lfrc_lin = lfrc_lin - 3.0 * jnp.pi * diam * visc * lv
+
+    # quadratic (density) drag against the box faces
+    dens = model.opt_density.astype(dtype)
+    b0, b1, b2 = box[:, 0:1], box[:, 1:2], box[:, 2:3]
+    face = jnp.concatenate([b1 * b2, b0 * b2, b0 * b1], axis=1)
+    lfrc_lin = lfrc_lin - 0.5 * dens * face * jnp.abs(lv) * lv
+    ang_coef = (
+        jnp.concatenate(
+            [
+                b0 * (b1**4 + b2**4),
+                b1 * (b0**4 + b2**4),
+                b2 * (b0**4 + b1**4),
+            ],
+            axis=1,
+        )
+        / 64.0
+    )
+    lfrc_ang = lfrc_ang - dens * ang_coef * jnp.abs(lw) * lw
+
+    # rotate wrench to world, move to the com reference point
+    torque_w = jnp.einsum("bjk,bk->bj", data.ximat, lfrc_ang)
+    force_w = jnp.einsum("bjk,bk->bj", data.ximat, lfrc_lin)
+    torque_com = torque_w + jnp.cross(data.xipos - root_com, force_w)
+    wrench = jnp.concatenate([torque_com, force_w], axis=1)  # (nbody, 6)
+    # massless bodies contribute nothing (MuJoCo skips them)
+    wrench = jnp.where(mass[:, None] > _MINVAL, wrench, 0.0)
+
+    # qfrc[i] = sum_b mask[b, i] * cdof[i] . wrench[b]
+    mask = jnp.asarray(_body_dof_mask(plan), dtype=dtype)  # (nbody, nv)
+    dots = data.cdof @ wrench.T  # (nv, nbody)
+    return jnp.sum(dots * mask.T, axis=1).astype(dtype)
+
 
 def passive(plan: PhysicsPlan, model: Model, data: Data) -> Data:
-    """Computes qfrc_spring, qfrc_damper, qfrc_passive."""
+    """Computes qfrc_spring, qfrc_damper, qfrc_passive (incl. fluid)."""
     dtype = data.qpos.dtype
     qfrc_spring = jnp.zeros(plan.nv, dtype=dtype)
 
@@ -65,8 +167,11 @@ def passive(plan: PhysicsPlan, model: Model, data: Data) -> Data:
         qfrc_spring = qfrc_spring.at[dadr : dadr + 3].set(-stiff * rot)
 
     qfrc_damper = -model.dof_damping * data.qvel
+    qfrc_passive = qfrc_spring + qfrc_damper
+    if plan.fluid_active:
+        qfrc_passive = qfrc_passive + fluid(plan, model, data)
     return data.replace(
         qfrc_spring=qfrc_spring,
         qfrc_damper=qfrc_damper,
-        qfrc_passive=qfrc_spring + qfrc_damper,
+        qfrc_passive=qfrc_passive,
     )

@@ -126,6 +126,7 @@ def make_toy_env(
     clip_length: int = 60,
     mocap_hz: int = 50,
     physics_steps_per_control_step: int = 2,
+    solver: str = "cg",
 ):
     """Builds a small tracking env over synthetic clips."""
     walker = ToyWalker()
@@ -147,7 +148,7 @@ def make_toy_env(
         reward_config=toy_reward_config(),
         physics_steps_per_control_step=physics_steps_per_control_step,
         reset_noise_scale=1e-3,
-        solver="cg",
+        solver=solver,
         iterations=4,
         ls_iterations=4,
         mj_model_timestep=0.005,

@@ -311,6 +311,16 @@ def main(cfg: ConfigDict):
         policy_params_fn=policy_params_fn,
     )
 
+    # drain orbax's async save threads before exiting: without this the last
+    # checkpoint can be left as an uncommitted .orbax-checkpoint-tmp dir
+    # (observed on the fly workload when the process exits right after the
+    # final eval's save)
+    try:
+        ckpt_mgr.wait_until_finished()
+        ckpt_mgr.close()
+    except Exception as e:  # noqa: BLE001
+        logging.warning("Checkpoint manager finalization failed: %s", e)
+
     try:
         preemption.cleanup_run_state(cfg)
         logging.info("Training completed successfully, cleaned up run state")
