@@ -129,8 +129,13 @@ class SingleClipTracking(Env):
         return phys_forward.forward(self.plan, self.model, data)
 
     def pipeline_step(
-        self, data: phys_model.Data, ctrl: jp.ndarray
+        self, data, ctrl: jp.ndarray
     ) -> phys_model.Data:
+        """Advances one control step (n physics substeps). Accepts either a
+        full Data or the SlimData carried by the auto-reset training wrappers
+        (expanded here; forward() recomputes every derived stage anyway)."""
+        if isinstance(data, phys_forward.SlimData):
+            data = phys_forward.expand_slim(self.plan, self.model, data)
         data = data.replace(ctrl=ctrl)
         return phys_forward.n_step(self.plan, self.model, data, self._n_frames)
 

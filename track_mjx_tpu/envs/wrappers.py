@@ -28,6 +28,7 @@ import jax
 from jax import numpy as jp
 
 from track_mjx_tpu.envs.base import Env, State, Wrapper
+from track_mjx_tpu.physics import forward as phys_forward
 from track_mjx_tpu.physics import kinematics as phys_kinematics
 
 
@@ -70,8 +71,16 @@ class EpisodeWrapper(Wrapper):
         return state
 
     def step(self, state: State, action: jax.Array) -> State:
+        # keep the scan carry type stable: when the outer auto-reset wrapper
+        # carries SlimData, the env's full-Data output is slimmed back
+        slim_in = isinstance(state.pipeline_state, phys_forward.SlimData)
+
         def f(state, _):
             nstate = self.env.step(state, action)
+            if slim_in:
+                nstate = nstate.replace(
+                    pipeline_state=phys_forward.slim_data(nstate.pipeline_state)
+                )
             return nstate, nstate.reward
 
         state, rewards = jax.lax.scan(f, state, (), self.action_repeat)
@@ -143,14 +152,24 @@ def _where_done(done: jax.Array, x, y):
 
 
 class AutoResetWrapperTracking(Wrapper):
-    """Swap-based auto-reset for done envs (reference wrappers.py:278-310)."""
+    """Swap-based auto-reset for done envs (reference wrappers.py:278-310).
+
+    TPU-first difference: the wrapped state (and the cached first state)
+    carries only SlimData — {time,qpos,qvel,act,ctrl,qacc_warmstart} — not
+    the full Data pytree. The env re-derives every other stage on the next
+    step, so carrying them through the trainer's unroll scan (and keeping a
+    second full copy as the reset cache) was pure HBM traffic: ~2x 70 MB per
+    step at 1024 envs. Consumers of an auto-reset-wrapped state (trainers,
+    evaluators, video logging) read obs/reward/metrics and pipeline_state
+    qpos/qvel/time, all of which SlimData retains."""
 
     def reset(self, rng: jax.Array) -> State:
         state = self.env.reset(rng)
-        state.info["first_pipeline_state"] = state.pipeline_state
+        slim = phys_forward.slim_data(state.pipeline_state)
+        state.info["first_pipeline_state"] = slim
         state.info["first_obs"] = state.obs
         state.info["first_prev_ctrl"] = state.info["prev_ctrl"]
-        return state
+        return state.replace(pipeline_state=slim)
 
     def step(self, state: State, action: jax.Array) -> State:
         if "steps" in state.info:
@@ -163,7 +182,7 @@ class AutoResetWrapperTracking(Wrapper):
         pipeline_state = jax.tree.map(
             lambda x, y: _where_done(done, x, y),
             state.info["first_pipeline_state"],
-            state.pipeline_state,
+            phys_forward.slim_data(state.pipeline_state),
         )
         obs = _where_done(done, state.info["first_obs"], state.obs)
         state.info["prev_ctrl"] = _where_done(
@@ -194,7 +213,8 @@ class LSTMAutoResetWrapperTracking(Wrapper):
 
     def reset(self, rng: jax.Array) -> State:
         state = self.env.reset(rng)
-        state.info["first_pipeline_state"] = state.pipeline_state
+        slim = phys_forward.slim_data(state.pipeline_state)
+        state.info["first_pipeline_state"] = slim
         state.info["first_obs"] = state.obs
         state.info["first_prev_ctrl"] = state.info["prev_ctrl"]
         num_envs = state.obs.shape[0]
@@ -202,7 +222,7 @@ class LSTMAutoResetWrapperTracking(Wrapper):
         state.info["hidden_state"] = initialize_lstm_hidden(
             jax.random.PRNGKey(0), num_envs, self.lstm_features, self.hidden_layer_num
         )
-        return state
+        return state.replace(pipeline_state=slim)
 
     def step(self, state: State, action: jax.Array) -> State:
         if "steps" in state.info:
@@ -215,7 +235,7 @@ class LSTMAutoResetWrapperTracking(Wrapper):
         pipeline_state = jax.tree.map(
             lambda x, y: _where_done(done, x, y),
             state.info["first_pipeline_state"],
-            state.pipeline_state,
+            phys_forward.slim_data(state.pipeline_state),
         )
         obs = _where_done(done, state.info["first_obs"], state.obs)
         state.info["prev_ctrl"] = _where_done(

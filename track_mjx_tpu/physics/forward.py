@@ -11,6 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import struct
 
 from track_mjx_tpu.ops import quaternion as quat
 from track_mjx_tpu.physics import actuation as _actuation
@@ -183,6 +184,36 @@ def step(plan: PhysicsPlan, model: Model, data: Data) -> Data:
 # else in Data is recomputed by forward() and would otherwise be dragged
 # through the scan carry (~70 MB/1024 envs, ~3 ms/substep of pure traffic)
 _CARRY_FIELDS = ("time", "qpos", "qvel", "act", "ctrl", "qacc_warmstart")
+
+
+@struct.dataclass
+class SlimData:
+    """The minimal dynamic state between CONTROL steps (same field set as the
+    physics-substep scan carry). Wrapper/trainer loops carry this instead of
+    the full Data (~70 MB/1024 envs of derived stages that forward() would
+    recompute anyway); `expand_slim` rebuilds a full Data template on entry
+    to the next pipeline_step."""
+
+    time: jax.Array
+    qpos: jax.Array
+    qvel: jax.Array
+    act: jax.Array
+    ctrl: jax.Array
+    qacc_warmstart: jax.Array
+
+
+def slim_data(data) -> SlimData:
+    """Full Data (or SlimData) -> SlimData."""
+    return SlimData(**{f: getattr(data, f) for f in _CARRY_FIELDS})
+
+
+def expand_slim(plan: PhysicsPlan, model: Model, slim: SlimData) -> Data:
+    """SlimData -> full Data template (derived fields zeroed; forward()
+    repopulates them)."""
+    from track_mjx_tpu.physics.model import make_data
+
+    base = make_data(plan, model)
+    return base.replace(**{f: getattr(slim, f) for f in _CARRY_FIELDS})
 
 
 def n_step(plan: PhysicsPlan, model: Model, data: Data, n: int) -> Data:
