@@ -32,16 +32,136 @@ whole batched solve compiles to MXU-friendly XLA with no dynamic control flow.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
+from track_mjx_tpu.ops import batched_linalg, cg_solver_kernel
 from track_mjx_tpu.physics import inertia
 from track_mjx_tpu.physics.constraint import EfcData
 from track_mjx_tpu.physics.model import Data, Model, PhysicsPlan
 
 _EPS = 1e-12
+
+
+# ---------------------------------------------------------------------------
+# scalar-row (pyramidal/limits) solve: per-env function + fused-kernel dispatch
+# ---------------------------------------------------------------------------
+
+
+def _scalar_cg_single(
+    iterations, ls_iterations, qm, qld, j, aref, d, smooth, warm, tol
+):
+    """One env's CG solve over unilateral scalar rows -> (x, force, qfrc).
+
+    This is the numerics-pinned path: op ordering matches round 1 exactly
+    (golden trajectory tests); the fused TPU kernel mirrors it."""
+
+    def cost(x):
+        dx = x - smooth
+        jar = j @ x - aref
+        return 0.5 * jnp.dot(dx, qm @ dx) + 0.5 * jnp.sum(
+            jnp.where(jar < 0, d * jar * jar, 0.0)
+        )
+
+    def force_of(jar):
+        return jnp.where(jar < 0, -d * jar, 0.0)
+
+    def cost_grad(x):
+        jar = j @ x - aref
+        grad = qm @ (x - smooth) - j.T @ force_of(jar)
+        return jar, grad
+
+    def linesearch(x, p):
+        mp = qm @ p
+        pmp = jnp.dot(p, mp)
+        dmx = jnp.dot(p, qm @ (x - smooth))
+        jp = j @ p
+        jar0 = j @ x - aref
+
+        def phi_derivs(alpha):
+            jar = jar0 + alpha * jp
+            active = jar < 0
+            d1 = alpha * pmp + dmx + jnp.sum(
+                jnp.where(active, d * jar * jp, 0.0)
+            )
+            d2 = pmp + jnp.sum(jnp.where(active, d * jp * jp, 0.0))
+            return d1, jnp.maximum(d2, _EPS)
+
+        d1, d2 = phi_derivs(0.0)
+        alpha = -d1 / d2
+
+        def newton_body(_, alpha):
+            d1, d2 = phi_derivs(alpha)
+            return alpha - d1 / d2
+
+        return jax.lax.fori_loop(0, ls_iterations, newton_body, alpha)
+
+    x0 = jnp.where(cost(warm) < cost(smooth), warm, smooth)
+    jar0, grad0 = cost_grad(x0)
+    mgrad0 = batched_linalg.cho_solve(qld, grad0)
+    state = _CGState(
+        x=x0,
+        jar=jar0,
+        grad=grad0,
+        mgrad=mgrad0,
+        p=-mgrad0,
+        improved=jnp.array(True),
+    )
+
+    meaninertia = jnp.mean(jnp.diag(qm))
+    nv = smooth.shape[-1]
+    scale = jnp.maximum(meaninertia * jnp.asarray(nv, smooth.dtype), _EPS)
+
+    def body(_, s):
+        alpha = linesearch(s.x, s.p)
+        x = s.x + alpha * s.p
+        jar, grad = cost_grad(x)
+        mgrad = batched_linalg.cho_solve(qld, grad)
+        num = jnp.dot(grad, mgrad - s.mgrad)
+        den = jnp.maximum(jnp.dot(s.grad, s.mgrad), _EPS)
+        beta = jnp.maximum(0.0, num / den)
+        p = -mgrad + beta * s.p
+        improved = jnp.linalg.norm(grad) / scale > tol
+        keep = s.improved
+        new = _CGState(x=x, jar=jar, grad=grad, mgrad=mgrad, p=p, improved=improved)
+        return jax.tree.map(lambda a, b: jnp.where(keep, a, b), new, s)
+
+    state = jax.lax.fori_loop(0, iterations, body, state)
+    force = force_of(state.jar)
+    return state.x, force, j.T @ force
+
+
+@functools.lru_cache(maxsize=None)
+def _make_scalar_cg_op(iterations: int, ls_iterations: int):
+    plain = functools.partial(_scalar_cg_single, iterations, ls_iterations)
+
+    @jax.custom_batching.custom_vmap
+    def op(qm, qld, j, aref, d, smooth, warm, tol):
+        return plain(qm, qld, j, aref, d, smooth, warm, tol)
+
+    @op.def_vmap
+    def _vmap(axis_size, in_batched, qm, qld, j, aref, d, smooth, warm, tol):
+        args = [qm, qld, j, aref, d, smooth, warm, tol]
+        per_env = in_batched[:7]
+        n = smooth.shape[-1]
+        e = aref.shape[-1]
+        tol_scalar = tol[0] if in_batched[7] else tol
+        if all(per_env) and cg_solver_kernel.kernel_available(n, e):
+            out = cg_solver_kernel._cg_solve_tpu(
+                qld, j, aref, d, smooth, warm, tol_scalar,
+                iterations=iterations, ls_iterations=ls_iterations,
+            )
+            return out, (True, True, True)
+        args = [
+            a if b else jnp.broadcast_to(a, (axis_size,) + jnp.shape(a))
+            for a, b in zip(args, in_batched)
+        ]
+        return jax.vmap(plain)(*args), (True, True, True)
+
+    return op
 
 
 class _EllConst(NamedTuple):
@@ -264,6 +384,26 @@ def solve(
         )
 
     ell = _ell_const(plan, model, efc)
+
+    if ell is None:
+        # scalar rows only: dispatch through the custom_vmap op so the whole
+        # solve fuses into one Pallas kernel per batch tile on TPU
+        op = _make_scalar_cg_op(plan.iterations, plan.ls_iterations)
+        x, force, qfrc = op(
+            data.qM,
+            data.qLD,
+            efc.J,
+            efc.aref,
+            efc.D,
+            data.qacc_smooth,
+            data.qacc_warmstart,
+            model.opt_tolerance,
+        )
+        return data.replace(
+            qacc=x,
+            qfrc_constraint=qfrc.astype(dtype),
+            efc_force=force.astype(dtype),
+        )
 
     def cost(x):
         dx = x - data.qacc_smooth
