@@ -285,9 +285,19 @@ def bench_training_step(
     return sps
 
 
-def bench_trainer(env, cfg, num_envs, batch_size, num_timesteps):
+def bench_trainer(
+    env,
+    cfg,
+    num_envs,
+    batch_size,
+    num_timesteps,
+    num_minibatches=4,
+    num_updates_per_batch=4,
+    epoch_steps_per_call=10,
+):
     """training/sps from the real MLP trainer (reference metric definition),
-    epoch-chunked to respect single-device-call runtime bounds."""
+    epoch-chunked to respect single-device-call runtime bounds. Also captures
+    eval/sps (reference definition: eval env-steps / eval epoch walltime)."""
     import functools
 
     from track_mjx_tpu.agent.mlp_ppo import ppo as mlp_ppo
@@ -301,12 +311,16 @@ def bench_trainer(env, cfg, num_envs, batch_size, num_timesteps):
         value_hidden_layer_sizes=tuple(cfg.network_config.critic_layer_sizes),
     )
     sps_samples = []
+    eval_sps_samples = []
 
     def progress(step, metrics):
         if metrics.get("training/sps"):
             sps_samples.append(metrics["training/sps"])
+        if metrics.get("eval/sps"):
+            eval_sps_samples.append(metrics["eval/sps"])
         log(
             f"trainer: steps(k)={step} sps={metrics.get('training/sps', 0):,.0f} "
+            f"eval_sps={metrics.get('eval/sps', 0):,.0f} "
             f"reward={metrics.get('eval/episode_reward')}"
         )
 
@@ -325,18 +339,20 @@ def bench_trainer(env, cfg, num_envs, batch_size, num_timesteps):
         seed=0,
         unroll_length=20,
         batch_size=batch_size,
-        num_minibatches=4,
-        num_updates_per_batch=4,
+        num_minibatches=num_minibatches,
+        num_updates_per_batch=num_updates_per_batch,
         num_evals=3,
         normalize_observations=True,
         use_lstm=False,
         deterministic_eval=True,
         network_factory=factory,
         progress_fn=progress,
-        epoch_steps_per_call=10,
+        epoch_steps_per_call=epoch_steps_per_call,
     )
-    # first epoch includes compile; report the best epoch
-    return max(sps_samples) if sps_samples else 0.0
+    # first epoch includes compile; report the best epoch (and eval/sps from
+    # the non-compile evals)
+    eval_sps = max(eval_sps_samples[1:], default=None) if eval_sps_samples else None
+    return (max(sps_samples) if sps_samples else 0.0), eval_sps
 
 
 def main():
@@ -354,6 +370,11 @@ def main():
     p.add_argument("--hand-rolled", action="store_true",
                    help="use the standalone training-step microbench instead "
                         "of the real trainer")
+    p.add_argument("--epoch-steps-per-call", type=int, default=10)
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the measured "
+                        "section into this directory (phases appear as "
+                        "rollout/sgd/normalizer_update named scopes)")
     args = p.parse_args()
 
     log(f"devices: {jax.devices()}")
@@ -365,6 +386,9 @@ def main():
     if not args.skip_rollout:
         rollout_sps = bench_rollout(env, args.rollout_envs, args.rollout_steps)
 
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
+    eval_sps = None
     if args.hand_rolled:
         train_sps = bench_training_step(
             env,
@@ -375,9 +399,19 @@ def main():
             args.updates_per_batch,
         )
     else:
-        train_sps = bench_trainer(
-            env, cfg, args.num_envs, args.batch_size, args.num_timesteps
+        train_sps, eval_sps = bench_trainer(
+            env,
+            cfg,
+            args.num_envs,
+            args.batch_size,
+            args.num_timesteps,
+            num_minibatches=args.num_minibatches,
+            num_updates_per_batch=args.updates_per_batch,
+            epoch_steps_per_call=args.epoch_steps_per_call,
         )
+    if args.profile_dir:
+        jax.profiler.stop_trace()
+        log(f"profiler trace written to {args.profile_dir}")
 
     baseline = None
     try:
@@ -396,7 +430,10 @@ def main():
                 "vs_baseline": round(vs_baseline, 3),
                 "detail": {
                     "rollout_sps": round(rollout_sps, 1) if rollout_sps else None,
+                    "eval_sps": round(eval_sps, 1) if eval_sps else None,
                     "num_envs": args.num_envs,
+                    "batch_size": args.batch_size,
+                    "num_minibatches": args.num_minibatches,
                     "device": str(jax.devices()[0]),
                 },
             }

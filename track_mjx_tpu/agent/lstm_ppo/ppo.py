@@ -259,12 +259,14 @@ def train(
             )
             return (next_state, next_key, forward_hidden_state), data
 
-        (state, _, forward_hidden_state), data = jax.lax.scan(
-            f,
-            (state, key_generate_unroll, training_state.hidden_state),
-            (),
-            length=batch_size * num_minibatches // num_envs,
-        )
+        # named scopes label the phases in jax.profiler traces
+        with jax.named_scope("rollout"):
+            (state, _, forward_hidden_state), data = jax.lax.scan(
+                f,
+                (state, key_generate_unroll, training_state.hidden_state),
+                (),
+                length=batch_size * num_minibatches // num_envs,
+            )
         data = jax.tree.map(lambda x: jnp.swapaxes(x, 1, 2), data)
         data = jax.tree.map(lambda x: jnp.reshape(x, (-1,) + x.shape[2:]), data)
         assert data.discount.shape[1:] == (unroll_length,)
@@ -272,18 +274,20 @@ def train(
         # SGD uses the PRE-update normalizer; the normalizer itself is updated
         # afterwards from this batch (reference :436, :450-454)
         normalizer_params = training_state.normalizer_params
-        (optimizer_state, params, _), metrics = jax.lax.scan(
-            functools.partial(
-                sgd_step, data=data, normalizer_params=normalizer_params
-            ),
-            (training_state.optimizer_state, training_state.params, key_sgd),
-            (),
-            length=num_updates_per_batch,
-        )
+        with jax.named_scope("sgd"):
+            (optimizer_state, params, _), metrics = jax.lax.scan(
+                functools.partial(
+                    sgd_step, data=data, normalizer_params=normalizer_params
+                ),
+                (training_state.optimizer_state, training_state.params, key_sgd),
+                (),
+                length=num_updates_per_batch,
+            )
 
-        normalizer_params = running_statistics.update(
-            training_state.normalizer_params, data.observation
-        )
+        with jax.named_scope("normalizer_update"):
+            normalizer_params = running_statistics.update(
+                training_state.normalizer_params, data.observation
+            )
 
         new_training_state = TrainingState(
             optimizer_state=optimizer_state,

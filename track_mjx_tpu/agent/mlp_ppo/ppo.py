@@ -377,21 +377,25 @@ def train(
             )
             return (next_state, next_key), data
 
-        (state, _), data = jax.lax.scan(
-            f,
-            (state, key_generate_unroll),
-            (),
-            length=batch_size * num_minibatches // num_envs,
-        )
+        # named scopes label the phases in jax.profiler traces
+        # (bench.py --profile-dir / train.py profile_dir)
+        with jax.named_scope("rollout"):
+            (state, _), data = jax.lax.scan(
+                f,
+                (state, key_generate_unroll),
+                (),
+                length=batch_size * num_minibatches // num_envs,
+            )
         # leading dims -> (batch_size * num_minibatches, unroll_length)
         data = jax.tree.map(lambda x: jnp.swapaxes(x, 1, 2), data)
         data = jax.tree.map(lambda x: jnp.reshape(x, (-1,) + x.shape[2:]), data)
         assert data.discount.shape[1:] == (unroll_length,)
 
         # global Welford update (no axis name: XLA all-reduces over the mesh)
-        normalizer_params = running_statistics.update(
-            training_state.normalizer_params, data.observation
-        )
+        with jax.named_scope("normalizer_update"):
+            normalizer_params = running_statistics.update(
+                training_state.normalizer_params, data.observation
+            )
         if (
             proprioceptive_obs_size > 0
             and frozen_proprioceptive_normalizer_params is not None
@@ -408,14 +412,20 @@ def train(
                 ].set(frozen_proprioceptive_normalizer_params.summed_variance),
             )
 
-        (optimizer_state, params, _, _), metrics = jax.lax.scan(
-            functools.partial(
-                sgd_step, data=data, normalizer_params=normalizer_params
-            ),
-            (training_state.optimizer_state, training_state.params, key_sgd, it),
-            (),
-            length=num_updates_per_batch,
-        )
+        with jax.named_scope("sgd"):
+            (optimizer_state, params, _, _), metrics = jax.lax.scan(
+                functools.partial(
+                    sgd_step, data=data, normalizer_params=normalizer_params
+                ),
+                (
+                    training_state.optimizer_state,
+                    training_state.params,
+                    key_sgd,
+                    it,
+                ),
+                (),
+                length=num_updates_per_batch,
+            )
 
         new_training_state = TrainingState(
             optimizer_state=optimizer_state,
