@@ -357,20 +357,20 @@ def bench_trainer(
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--num-envs", type=int, default=512)
-    p.add_argument("--batch-size", type=int, default=256)
-    p.add_argument("--num-minibatches", type=int, default=4)
+    p.add_argument("--num-envs", type=int, default=4096)
+    p.add_argument("--batch-size", type=int, default=1024)
+    p.add_argument("--num-minibatches", type=int, default=16)
     p.add_argument("--unroll-length", type=int, default=20)
     p.add_argument("--updates-per-batch", type=int, default=4)
     p.add_argument("--rollout-steps", type=int, default=50)
     p.add_argument("--rollout-envs", type=int, default=1024)
     p.add_argument("--num-clips", type=int, default=4)
-    p.add_argument("--num-timesteps", type=int, default=1_700_000)
+    p.add_argument("--num-timesteps", type=int, default=2_000_000)
     p.add_argument("--skip-rollout", action="store_true")
     p.add_argument("--hand-rolled", action="store_true",
                    help="use the standalone training-step microbench instead "
                         "of the real trainer")
-    p.add_argument("--epoch-steps-per-call", type=int, default=10)
+    p.add_argument("--epoch-steps-per-call", type=int, default=2)
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the measured "
                         "section into this directory (phases appear as "
