@@ -294,6 +294,7 @@ def bench_trainer(
     num_minibatches=4,
     num_updates_per_batch=4,
     epoch_steps_per_call=10,
+    profile_dir=None,
 ):
     """training/sps from the real MLP trainer (reference metric definition),
     epoch-chunked to respect single-device-call runtime bounds. Also captures
@@ -348,6 +349,7 @@ def bench_trainer(
         network_factory=factory,
         progress_fn=progress,
         epoch_steps_per_call=epoch_steps_per_call,
+        profile_dir=profile_dir,
     )
     # first epoch includes compile; report the best epoch (and eval/sps from
     # the non-compile evals)
@@ -372,9 +374,10 @@ def main():
                         "of the real trainer")
     p.add_argument("--epoch-steps-per-call", type=int, default=2)
     p.add_argument("--profile-dir", default=None,
-                   help="capture a jax.profiler trace of the measured "
-                        "section into this directory (phases appear as "
-                        "rollout/sgd/normalizer_update named scopes)")
+                   help="capture a jax.profiler trace of ONE post-compile "
+                        "training-epoch device call into this directory "
+                        "(phases appear as rollout/sgd/normalizer_update "
+                        "named scopes)")
     args = p.parse_args()
 
     log(f"devices: {jax.devices()}")
@@ -386,8 +389,6 @@ def main():
     if not args.skip_rollout:
         rollout_sps = bench_rollout(env, args.rollout_envs, args.rollout_steps)
 
-    if args.profile_dir:
-        jax.profiler.start_trace(args.profile_dir)
     eval_sps = None
     if args.hand_rolled:
         train_sps = bench_training_step(
@@ -408,10 +409,8 @@ def main():
             num_minibatches=args.num_minibatches,
             num_updates_per_batch=args.updates_per_batch,
             epoch_steps_per_call=args.epoch_steps_per_call,
+            profile_dir=args.profile_dir,
         )
-    if args.profile_dir:
-        jax.profiler.stop_trace()
-        log(f"profiler trace written to {args.profile_dir}")
 
     baseline = None
     try:

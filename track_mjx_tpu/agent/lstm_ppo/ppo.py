@@ -103,6 +103,7 @@ def train(
     freeze_decoder: bool = False,
     checkpoint_callback: Optional[Callable[[int], None]] = None,
     epoch_steps_per_call: Optional[int] = None,
+    profile_dir: Optional[str] = None,
 ):
     """Trains an LSTM intention PPO policy."""
     del use_kl_schedule, kl_ramp_up_frac, freeze_decoder, eval_env_test_set
@@ -320,15 +321,26 @@ def train(
     training_epoch = jax.jit(training_epoch)
 
     training_walltime = 0.0
+    epochs_run = 0
 
     def training_epoch_with_timing(training_state, env_state, key):
-        nonlocal training_walltime
+        nonlocal training_walltime, epochs_run
         t = time.time()
         training_state, env_state = _strip_weak_type((training_state, env_state))
+        # scoped jax.profiler capture of one post-compile epoch device call
+        # (see mlp_ppo/ppo.py: whole-run traces overflow the XSpace protobuf)
+        profile_this = profile_dir is not None and epochs_run == 1
+        epochs_run += 1
         chunk_metrics = []
-        for _ in range(num_chunks):
+        for chunk_i in range(num_chunks):
             key, sub_key = jax.random.split(key)
-            result = training_epoch(training_state, env_state, sub_key)
+            if profile_this and chunk_i == 0:
+                with jax.profiler.trace(profile_dir):
+                    result = training_epoch(training_state, env_state, sub_key)
+                    jax.block_until_ready(result)
+                logging.info("profiler trace written to %s", profile_dir)
+            else:
+                result = training_epoch(training_state, env_state, sub_key)
             training_state, env_state, metrics = _strip_weak_type(result)
             chunk_metrics.append(metrics)
         metrics = jax.tree.map(

@@ -115,6 +115,7 @@ def train(
     freeze_decoder: bool = False,
     checkpoint_callback: Optional[Callable[[int], None]] = None,
     epoch_steps_per_call: Optional[int] = None,
+    profile_dir: Optional[str] = None,
 ):
     """Trains an intention PPO policy; returns (make_policy, params, metrics)."""
     assert batch_size * num_minibatches % num_envs == 0, (
@@ -464,16 +465,28 @@ def train(
     training_epoch = jax.jit(training_epoch)
 
     training_walltime = 0.0
+    epochs_run = 0
 
     def training_epoch_with_timing(training_state, env_state, key, it):
-        nonlocal training_walltime
+        nonlocal training_walltime, epochs_run
         t = time.time()
         training_state, env_state = _strip_weak_type((training_state, env_state))
         step = jnp.ones_like(training_state.env_steps) * it
+        # scoped jax.profiler capture: exactly one post-compile epoch device
+        # call (the whole-run alternative overflows the 2GB XSpace protobuf);
+        # phases appear as rollout / normalizer_update / sgd named scopes
+        profile_this = profile_dir is not None and epochs_run == 1
+        epochs_run += 1
         chunk_metrics = []
-        for _ in range(num_chunks):
+        for chunk_i in range(num_chunks):
             key, sub_key = jax.random.split(key)
-            result = training_epoch(training_state, env_state, sub_key, step)
+            if profile_this and chunk_i == 0:
+                with jax.profiler.trace(profile_dir):
+                    result = training_epoch(training_state, env_state, sub_key, step)
+                    jax.block_until_ready(result)
+                logging.info("profiler trace written to %s", profile_dir)
+            else:
+                result = training_epoch(training_state, env_state, sub_key, step)
             training_state, env_state, metrics = _strip_weak_type(result)
             chunk_metrics.append(metrics)
         metrics = jax.tree.map(
