@@ -214,3 +214,52 @@ class TestDomainRandomization:
         assert np.isfinite(np.asarray(state.obs)).all()
         # restore the unrandomized model for other tests
         toy_env.model = base_model
+
+
+class TestFusedClipIndexing:
+    """The multi-clip fused flat-row gathers must match the naive
+    clip-then-frame tree indexing exactly (they replace a whole-clip
+    materialization per env per step — see MultiClipTracking)."""
+
+    def test_reference_frame_matches_naive(self, toy_env):
+        clips = toy_env._reference_clips
+        F = toy_env._clip_frames
+        for clip_idx, frame in [(0, 0), (0, 3), (1, 7), (1, F - 1), (0, F + 5)]:
+            info = {"clip_idx": jp.array(clip_idx)}
+            fused = toy_env._get_reference_frame_at(info, jp.array(frame))
+            naive = jax.tree.map(
+                lambda x: x[clip_idx][min(frame, F - 1)] if x.ndim >= 2 else x[clip_idx],
+                clips,
+            )
+            jax.tree.map(
+                lambda a, b: np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b)
+                ),
+                fused,
+                naive,
+            )
+
+    def test_reference_trajectory_matches_naive(self, toy_env):
+        clips = toy_env._reference_clips
+        F, L = toy_env._clip_frames, toy_env._ref_len
+
+        class _D:
+            time = jp.array(0.0)
+
+        for clip_idx, cur in [(0, 0), (1, 4), (0, F - 2), (1, F + 3)]:
+            info = {"clip_idx": jp.array(clip_idx), "start_frame": jp.array(cur)}
+            fused = toy_env._get_reference_trajectory(info, _D())
+            start = int(np.clip(cur + 1, 0, F - L))
+            naive = jax.tree.map(
+                lambda x: x[clip_idx][start : start + L]
+                if x.ndim >= 2
+                else jp.array([]),
+                clips,
+            )
+            jax.tree.map(
+                lambda a, b: np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b)
+                ),
+                fused,
+                naive,
+            )

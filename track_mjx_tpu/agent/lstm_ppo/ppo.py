@@ -317,8 +317,8 @@ def train(
         loss_metrics = jax.tree.map(jnp.mean, loss_metrics)
         return training_state, state, loss_metrics
 
-    # donation disabled (see mlp_ppo/ppo.py: faults with Pallas kernels)
-    training_epoch = jax.jit(training_epoch)
+    # donated carries (see mlp_ppo/ppo.py: round-1 faults no longer reproduce)
+    training_epoch = jax.jit(training_epoch, donate_argnums=(0, 1))
 
     training_walltime = 0.0
     epochs_run = 0

@@ -458,11 +458,11 @@ def train(
         loss_metrics = jax.tree.map(jnp.mean, loss_metrics)
         return training_state, state, loss_metrics
 
-    # NOTE: buffer donation disabled — donated carries triggered TPU device
-    # faults mid-epoch in combination with the Pallas linalg kernels
-    # (TODO round 2: isolate and re-enable; memory headroom is ample at
-    # current batch sizes)
-    training_epoch = jax.jit(training_epoch)
+    # donated carries: the round-1 device faults no longer reproduce with the
+    # alias-free/fused kernels (tools/donation_repro.py levels 1-3 + trainer
+    # soak all clean); donating TrainingState and env State halves the
+    # steady-state footprint of the largest live buffers at scale
+    training_epoch = jax.jit(training_epoch, donate_argnums=(0, 1))
 
     training_walltime = 0.0
     epochs_run = 0

@@ -164,9 +164,7 @@ class SingleClipTracking(Env):
         """Resets the env to a (noisy) reference-clip frame."""
         _, rng1, rng2 = jax.random.split(rng, 3)
 
-        reference_frame = jax.tree.map(
-            lambda x: x[info["start_frame"]], self._get_reference_clip(info)
-        )
+        reference_frame = self._get_reference_frame_at(info, info["start_frame"])
         info["reference_frame"] = reference_frame
 
         low, hi = -self._reset_noise_scale, self._reset_noise_scale
@@ -232,10 +230,7 @@ class SingleClipTracking(Env):
         data = self.pipeline_step(data0, action)
         info = dict(state.info)
 
-        reference_frame = jax.tree.map(
-            lambda x: x[self._get_cur_frame(info, data)],
-            self._get_reference_clip(info),
-        )
+        reference_frame = self._get_reference_frame(info, data)
         info["reference_frame"] = reference_frame
         info["prev_ctrl"] = action
         buffer = info["action_buffer"]
@@ -374,6 +369,14 @@ class SingleClipTracking(Env):
         """Returns the reference clip; overridden by MultiClipTracking."""
         return self._reference_clip
 
+    def _get_reference_frame_at(self, info, frame) -> ReferenceClip:
+        """The clip frame at the given index (reward/reset target)."""
+        return jax.tree.map(lambda x: x[frame], self._get_reference_clip(info))
+
+    def _get_reference_frame(self, info, data) -> ReferenceClip:
+        """The clip frame at the current time (reward target)."""
+        return self._get_reference_frame_at(info, self._get_cur_frame(info, data))
+
     def _get_reference_trajectory(self, info, data) -> ReferenceClip:
         """Slices the clip into the (traj_length,) observation window."""
 
@@ -456,6 +459,16 @@ class MultiClipTracking(SingleClipTracking):
         if reference_clip is not None:
             self._reference_clips = reference_clip
             self._n_clips = reference_clip.position.shape[0]
+            self._clip_frames = reference_clip.position.shape[1]
+            # (n_clips*frames, ...) view for fused clip+frame row gathers:
+            # tree-indexing x[clip_idx] materializes the WHOLE per-env clip
+            # (batch x frames x dims of gather traffic every control step,
+            # ~30 ms/step at 4096 envs on a v5e) where a single flat-row
+            # gather moves only the frames actually read
+            self._flat_clips = jax.tree.map(
+                lambda x: x.reshape((-1,) + x.shape[2:]) if x.ndim >= 2 else x,
+                reference_clip,
+            )
         else:
             # pure rendering mode (multi_clip_tracking.py:68-72)
             self._reference_clips = None
@@ -477,3 +490,31 @@ class MultiClipTracking(SingleClipTracking):
 
     def _get_reference_clip(self, info: Dict[str, jp.ndarray]) -> ReferenceClip:
         return jax.tree.map(lambda x: x[info["clip_idx"]], self._reference_clips)
+
+    def _get_reference_frame_at(self, info, frame) -> ReferenceClip:
+        if self._reference_clips is None:  # pure rendering mode
+            return super()._get_reference_frame_at(info, frame)
+        # fused clip+frame row gather; clamp matches x[frame] gather
+        # semantics on the (frames,...) clip view
+        frame = jp.clip(frame, 0, self._clip_frames - 1)
+        row = info["clip_idx"] * self._clip_frames + frame
+        return jax.tree.map(
+            lambda x: x[row] if x.ndim >= 2 else x[info["clip_idx"]],
+            self._flat_clips,
+        )
+
+    def _get_reference_trajectory(self, info, data) -> ReferenceClip:
+        if self._reference_clips is None:  # pure rendering mode
+            return super()._get_reference_trajectory(info, data)
+        # fused clip+frame slice; start clamp matches dynamic_slice_in_dim
+        # on the (frames,...) clip view
+        start = jp.clip(
+            self._get_cur_frame(info, data) + 1,
+            0,
+            self._clip_frames - self._ref_len,
+        )
+        rows = info["clip_idx"] * self._clip_frames + start + jp.arange(self._ref_len)
+        return jax.tree.map(
+            lambda x: x[rows] if x.ndim >= 2 else jp.array([]),
+            self._flat_clips,
+        )
