@@ -65,6 +65,17 @@ class TestRolloutGenerator:
         assert "rollout_metrics" in out
         assert np.isfinite(np.asarray(out["qposes_rollout"])).all()
 
+    def test_sensor_data_channels(self, toy_policy_env, toy_cfg):
+        """log_sensor_data yields per-body cfrc_ext wrenches + sensordata."""
+        env, policy = toy_policy_env
+        gen = rollout_lib.create_rollout_generator(
+            toy_cfg, env, policy, model="mlp", log_sensor_data=True
+        )
+        out = gen(0)
+        n_steps = int(30 * env._steps_for_cur_frame)
+        assert out["joint_forces"].shape == (n_steps - 1, env.plan.nbody, 6)
+        assert np.isfinite(np.asarray(out["joint_forces"])).all()
+
     def test_vmap_over_clips(self, toy_policy_env, toy_cfg):
         env, policy = toy_policy_env
         gen = rollout_lib.create_rollout_generator(toy_cfg, env, policy)

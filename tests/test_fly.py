@@ -21,6 +21,7 @@ import pytest
 from track_mjx_tpu.envs.walker.base import DEFAULT_ASSET_ROOT
 from track_mjx_tpu.envs.walker.fly import ensure_fly_assets
 from track_mjx_tpu.physics import model as pm
+from track_mjx_tpu.physics import postconstraint
 from track_mjx_tpu.physics import solver as slv
 from track_mjx_tpu.physics.forward import forward, fwd_position, fwd_velocity
 
@@ -124,6 +125,35 @@ def test_fly_forward_parity_elliptic(fly_model, fly_system):
             b = getattr(d, name)
             err = np.abs(a - b).max() / max(1.0, np.abs(b).max())
             assert err < tol, f"seed {seed} {name}: rel err {err:.2e}"
+
+
+def test_fly_cfrc_ext_elliptic(fly_model, fly_system):
+    """Per-body contact wrenches (cfrc_ext) with the ELLIPTIC cone decode
+    match mj_rnePostConstraint; covers the elliptic branch of
+    physics.postconstraint (the rodent parity test covers pyramidal)."""
+    m = fly_model
+    plan, model = fly_system
+
+    @jax.jit
+    def run(model, qpos, qvel, ctrl):
+        data = pm.make_data(plan, model)
+        data = data.replace(qpos=qpos, qvel=qvel, ctrl=ctrl)
+        data = forward(plan, model, data)
+        return postconstraint.cfrc_ext(plan, model, data)
+
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    qpos, qvel, ctrl = _rand_state(m, 0, qvel_scale=10.0)
+    d = mujoco.MjData(m)
+    d.qpos[:] = qpos
+    d.qvel[:] = qvel
+    d.ctrl[:] = ctrl
+    mujoco.mj_forward(m, d)
+    mujoco.mj_rnePostConstraint(m, d)
+    assert d.ncon > 0
+    ours = np.asarray(run(model, f32(qpos), f32(qvel), f32(ctrl)), np.float64)
+    assert np.abs(ours).max() > 0
+    err = np.abs(ours - d.cfrc_ext).max() / max(1.0, np.abs(d.cfrc_ext).max())
+    assert err < 2e-2, f"cfrc_ext rel err {err:.2e}"
 
 
 def test_fly_solver_objective_not_worse_than_c(fly_model, fly_system):

@@ -15,6 +15,7 @@ from track_mjx_tpu.physics.com import com_pos, com_vel
 from track_mjx_tpu.physics.forward import forward, step
 from track_mjx_tpu.physics.inertia import crb
 from track_mjx_tpu.physics.kinematics import kinematics
+from track_mjx_tpu.physics import postconstraint
 from track_mjx_tpu.physics.passive import passive
 from track_mjx_tpu.physics.rne import rne
 
@@ -146,6 +147,28 @@ class TestRodentForward:
         _assert_close(
             data.qfrc_constraint, d.qfrc_constraint, rel=1e-4, name="qfrc_constraint"
         )
+
+    def test_cfrc_ext(self, rodent_mj_model, rodent_system):
+        """Post-constraint body wrenches match mj_rnePostConstraint on a
+        contact-rich state (contact contributions; no xfrc/equality here)."""
+        m = rodent_mj_model
+        plan, model = rodent_system
+        qpos, qvel, ctrl = _random_state(m, seed=1, drop=0.012, joint_scale=0.05)
+        d = _c_forward(m, qpos, qvel, ctrl)
+        assert d.ncon > 0, "test state must be contact-rich"
+        mujoco.mj_rnePostConstraint(m, d)
+
+        @jax.jit
+        def run(model, qpos, qvel, ctrl):
+            data = pm.make_data(plan, model)
+            data = data.replace(qpos=qpos, qvel=qvel, ctrl=ctrl)
+            data = forward(plan, model, data)
+            return postconstraint.cfrc_ext(plan, model, data)
+
+        f32 = lambda x: jnp.asarray(x, jnp.float32)
+        ours = run(model, f32(qpos), f32(qvel), f32(ctrl))
+        assert np.abs(np.asarray(ours)).max() > 0, "wrenches must be nonzero"
+        _assert_close(ours, d.cfrc_ext, rel=2e-3, name="cfrc_ext")
 
     def test_one_step(self, rodent_mj_model, rodent_system):
         m = rodent_mj_model

@@ -29,6 +29,7 @@ from track_mjx_tpu.envs.walker.fly import Fly
 from track_mjx_tpu.envs.walker.rodent import Rodent
 from track_mjx_tpu.envs.walker.stick import Stick
 from track_mjx_tpu.io import load
+from track_mjx_tpu.physics import postconstraint
 
 envs.register_environment("rodent_single_clip", SingleClipTracking)
 envs.register_environment("rodent_multi_clip", MultiClipTracking)
@@ -105,6 +106,13 @@ def create_rollout_generator(
     jit_reset = jax.jit(rollout_env.reset)
     jit_step = jax.jit(rollout_env.step)
 
+    def _body_wrenches(pipeline_state):
+        # per-body contact wrench (nbody, 6), the reference's cfrc_ext
+        # "joint_forces" channel (track_mjx/analysis/rollout.py:144)
+        return postconstraint.cfrc_ext(
+            environment.plan, environment.model, pipeline_state
+        )
+
     def generate_rollout(clip_idx: Optional[int] = None, seed: int = 42) -> Dict:
         rollout_key = jax.random.PRNGKey(seed)
         rollout_key, reset_rng, act_rng = jax.random.split(rollout_key, 3)
@@ -124,7 +132,7 @@ def create_rollout_generator(
                 next_state.pipeline_state.sensordata if log_sensor_data else None
             )
             joint_force = (
-                next_state.pipeline_state.qfrc_constraint if log_sensor_data else None
+                _body_wrenches(next_state.pipeline_state) if log_sensor_data else None
             )
             activations = extras["activations"] if log_activations else None
             return (next_state, new_rng), (
@@ -145,7 +153,7 @@ def create_rollout_generator(
                 next_state.pipeline_state.sensordata if log_sensor_data else None
             )
             joint_force = (
-                next_state.pipeline_state.qfrc_constraint if log_sensor_data else None
+                _body_wrenches(next_state.pipeline_state) if log_sensor_data else None
             )
             activations = extras["activations"] if log_activations else None
             return (next_state, new_rng, new_hidden), (

@@ -1,0 +1,83 @@
+"""Post-constraint per-body contact wrenches (``cfrc_ext``).
+
+TPU-native equivalent of the contact-accumulation half of MuJoCo's
+``mj_rnePostConstraint``. The reference stack exposes this through
+``mjx.Data.cfrc_ext`` and logs it as ``joint_forces`` during offline rollouts
+(reference: ``track_mjx/analysis/rollout.py:144``); here it is a pure
+analysis-time function over the engine's static-shape contact tables, so the
+hot training step never computes or carries the extra ``(nbody, 6)`` state.
+
+Conventions (verified empirically against MuJoCo C 3.10 on a probe scene):
+
+- ``cfrc_ext[b]`` is a spatial wrench ``[torque(3), force(3)]`` expressed in
+  the world orientation about the subtree COM of body ``b``'s kinematic-tree
+  root (``subtree_com[body_rootid[b]]``).
+- A contact applies ``+wrench`` to geom2's body and ``-wrench`` to geom1's
+  body (the contact normal points from geom1 into geom2).
+- Pyramidal facet forces decode as ``fn = sum(pyr)``,
+  ``ft_i = (pyr[2i] - pyr[2i+1]) * mu_i`` (``mju_decodePyramid``); elliptic
+  blocks are already ``[normal, tangent1, tangent2]`` in the contact frame.
+
+Scope: contact forces only. ``xfrc_applied`` perturbations and equality
+constraints are not represented in this engine (``put_model`` rejects
+equality constraints; there is no ``xfrc_applied`` state), so their
+contributions — zero in every shipped workload — are absent.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from track_mjx_tpu.physics.collision import _combine_params, contact_bodies
+from track_mjx_tpu.physics.model import CONE_ELLIPTIC, Data, Model, PhysicsPlan
+
+
+def cfrc_ext(plan: PhysicsPlan, model: Model, data: Data) -> jax.Array:
+    """Net external (contact) wrench per body, ``(nbody, 6)`` = [torque, force].
+
+    Consumes the constraint outputs already stored in ``data``
+    (``contact_dist/pos/frame``, ``efc_force``) — call after ``forward`` or
+    ``step``. Single-env; ``jax.vmap`` over a leading batch axis.
+    """
+    dtype = data.qpos.dtype
+    out = jnp.zeros((plan.nbody, 6), dtype)
+    if plan.ncon == 0:
+        return out
+
+    geom1, geom2, body1, body2 = contact_bodies(plan)
+    friction, _, _, includemargin = _combine_params(model, geom1, geom2)
+    active = data.contact_dist < includemargin
+
+    # efc row layout (constraint.make_constraint): [joint limits, condim-1
+    # normal rows, condim-3 blocks (4 pyramid rows / 3 elliptic rows each)].
+    n_lim = len(plan.limited_jnt_ids)
+    cd1 = np.nonzero(plan.contact_condim == 1)[0]
+    cd3 = np.nonzero(plan.contact_condim >= 3)[0]
+    off3 = n_lim + len(cd1)
+
+    f_local = jnp.zeros((plan.ncon, 3), dtype)
+    if len(cd1):
+        f_local = f_local.at[cd1, 0].set(data.efc_force[n_lim + np.arange(len(cd1))])
+    if len(cd3):
+        if plan.cone == CONE_ELLIPTIC:
+            blocks = data.efc_force[off3 : off3 + 3 * len(cd3)].reshape(len(cd3), 3)
+            f_local = f_local.at[cd3].set(blocks)
+        else:
+            pyr = data.efc_force[off3 : off3 + 4 * len(cd3)].reshape(len(cd3), 4)
+            mu = friction[cd3, :2]
+            f_local = f_local.at[cd3, 0].set(pyr.sum(axis=1))
+            f_local = f_local.at[cd3, 1:].set((pyr[:, 0::2] - pyr[:, 1::2]) * mu)
+    f_local = jnp.where(active[:, None], f_local, 0.0)
+
+    # world-frame force; contact frames carry rows = [normal, tan1, tan2]
+    f_world = jnp.einsum("ci,cij->cj", f_local, data.contact_frame)
+
+    com1 = data.subtree_com[plan.body_rootid[body1]]
+    com2 = data.subtree_com[plan.body_rootid[body2]]
+    trq2 = jnp.cross(data.contact_pos - com2, f_world)
+    trq1 = jnp.cross(data.contact_pos - com1, f_world)
+    out = out.at[body2].add(jnp.concatenate([trq2, f_world], axis=1))
+    out = out.at[body1].add(-jnp.concatenate([trq1, f_world], axis=1))
+    return out
