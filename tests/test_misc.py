@@ -79,13 +79,12 @@ def test_put_model_loud_rejections():
 
     from track_mjx_tpu.physics import forward as fwd
 
-    # Newton/PGS solver: packs, but the constraint solve refuses to trace
-    # (kinematic-only models carrying the MuJoCo-default Newton still pack)
-    for name in ("Newton", "PGS"):
-        plan_n, model_n = pm.put_model(build(opt=f'solver="{name}"'))
-        assert plan_n.nefc > 0  # the joint limit row makes the solver run
-        with pytest.raises(NotImplementedError, match="solver"):
-            fwd.forward(plan_n, model_n, pm.make_data(plan_n, model_n))
+    # PGS solver: packs, but the constraint solve refuses to trace
+    # (kinematic-only models carrying an unsupported solver still pack)
+    plan_n, model_n = pm.put_model(build(opt='solver="PGS"'))
+    assert plan_n.nefc > 0  # the joint limit row makes the solver run
+    with pytest.raises(NotImplementedError, match="solver"):
+        fwd.forward(plan_n, model_n, pm.make_data(plan_n, model_n))
     # non-Euler integrator: packs (kinematic-only models may request RK4)
     # but refuses to step
     m_rk4 = build(opt='integrator="RK4" solver="CG"')
@@ -101,9 +100,35 @@ def test_put_model_loud_rejections():
     assert plan.nv == 1
 
 
-def test_tracking_env_newton_request_raises():
-    """Env construction with solver='newton' surfaces the loud rejection."""
+def test_tracking_env_newton():
+    """solver='newton' builds and steps (native mjSOL_NEWTON; scalar rows)."""
+    import jax
+    import jax.numpy as jnp
+
     from track_mjx_tpu.testing import make_toy_env
 
-    with pytest.raises(NotImplementedError, match="solver"):
-        make_toy_env(solver="newton")
+    env = make_toy_env(solver="newton")
+    state = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    state = jax.jit(env.step)(state, jnp.zeros(env.action_size))
+    assert bool(jnp.isfinite(state.obs).all())
+
+
+def test_tracking_env_newton_elliptic_raises():
+    """Newton combined with an elliptic cone is rejected loudly."""
+    import mujoco
+
+    from track_mjx_tpu.physics import forward as fwd
+    from track_mjx_tpu.physics import model as pm
+
+    m = mujoco.MjModel.from_xml_string("""
+    <mujoco>
+      <option solver="Newton" cone="elliptic"/>
+      <worldbody>
+        <geom type="plane" size="1 1 .1"/>
+        <body pos="0 0 0.05"><freejoint/>
+        <geom type="sphere" size="0.1"/></body>
+      </worldbody>
+    </mujoco>""")
+    plan, model = pm.put_model(m)
+    with pytest.raises(NotImplementedError, match="elliptic"):
+        fwd.forward(plan, model, pm.make_data(plan, model))

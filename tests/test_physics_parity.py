@@ -148,6 +148,32 @@ class TestRodentForward:
             data.qfrc_constraint, d.qfrc_constraint, rel=1e-4, name="qfrc_constraint"
         )
 
+    def test_newton_solver_parity(self, rodent_mj_model):
+        """Native mjSOL_NEWTON matches MuJoCo C Newton on a contact-rich
+        state (qacc + qfrc_constraint)."""
+        import copy
+
+        m = copy.copy(rodent_mj_model)
+        m.opt.solver = 2  # mjSOL_NEWTON
+        plan, model = pm.put_model(m)
+        assert plan.solver == 2
+        qpos, qvel, ctrl = _random_state(m, seed=1, drop=0.012, joint_scale=0.05)
+        d = _c_forward(m, qpos, qvel, ctrl)
+        assert d.ncon > 0, "test state must be contact-rich"
+
+        @jax.jit
+        def run(model, qpos, qvel, ctrl):
+            data = pm.make_data(plan, model)
+            data = data.replace(qpos=qpos, qvel=qvel, ctrl=ctrl)
+            return forward(plan, model, data)
+
+        f32 = lambda x: jnp.asarray(x, jnp.float32)
+        data = run(model, f32(qpos), f32(qvel), f32(ctrl))
+        _assert_close(data.qacc, d.qacc, rel=1e-4, name="qacc")
+        _assert_close(
+            data.qfrc_constraint, d.qfrc_constraint, rel=1e-4, name="qfrc_constraint"
+        )
+
     def test_cfrc_ext(self, rodent_mj_model, rodent_system):
         """Post-constraint body wrenches match mj_rnePostConstraint on a
         contact-rich state (contact contributions; no xfrc/equality here)."""
