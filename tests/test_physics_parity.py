@@ -351,6 +351,40 @@ class TestToyModel:
         data = run(model, f32(qpos), f32(qvel), f32(ctrl))
         _assert_close(data.qpos, d.qpos, rel=2e-3, name="qpos")
 
+    def test_rk4_trajectory(self):
+        """RK4 integrator parity over a short trajectory (mj_RungeKutta):
+        hinge/slide/ball/free joints, actuators, contacts."""
+        m = mujoco.MjModel.from_xml_string(TOY_XML)
+        m.opt.integrator = 1  # mjINT_RK4
+        plan, model = pm.put_model(m)
+        assert plan.integrator == 1
+        qpos = m.qpos0.copy()
+        qvel = np.zeros(m.nv)
+        ctrl = np.array([0.3, -0.2])
+        d = mujoco.MjData(m)
+        d.qpos[:] = qpos
+        d.qvel[:] = qvel
+        d.ctrl[:] = ctrl
+        for _ in range(10):
+            mujoco.mj_step(m, d)
+
+        @jax.jit
+        def run(model, qpos, qvel, ctrl):
+            data = pm.make_data(plan, model)
+            data = data.replace(qpos=qpos, qvel=qvel, ctrl=ctrl)
+
+            def body(dd, _):
+                return step(plan, model, dd), None
+
+            data, _ = jax.lax.scan(body, data, None, length=10)
+            return data
+
+        f32 = lambda x: jnp.asarray(x, jnp.float32)
+        data = run(model, f32(qpos), f32(qvel), f32(ctrl))
+        _assert_close(data.qpos, d.qpos, rel=2e-3, name="qpos")
+        _assert_close(data.qvel, d.qvel, rel=5e-3, name="qvel")
+        assert float(data.time) == pytest.approx(10 * m.opt.timestep, rel=1e-5)
+
 
 class TestSensors:
     """Sensor parity vs the C engine (rodent IMU triplet + subtreelinvel)."""

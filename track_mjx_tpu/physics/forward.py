@@ -132,19 +132,22 @@ def _advance_act(plan: PhysicsPlan, model: Model, data: Data, dt) -> jax.Array:
 
 
 INT_EULER = 0
+INT_RK4 = 1
 
 
 def euler(plan: PhysicsPlan, model: Model, data: Data) -> Data:
     """Semi-implicit Euler with implicit joint damping (mj_Euler parity).
 
-    Raises at trace time for any other integrator: all reference workloads
-    compile to Euler, and kinematic-only models (e.g. the stick ghost walker,
-    whose XML requests RK4 but is never stepped) pack fine and only fail if
-    actually integrated."""
+    Raises at trace time for any other integrator (RK4 has its own entry
+    point, dispatched by `step`): all reference workloads compile to Euler,
+    and kinematic-only models (e.g. the stick ghost walker, whose XML
+    requests RK4 but is never stepped) pack fine and only fail if actually
+    integrated."""
     if plan.integrator != INT_EULER:
         raise NotImplementedError(
-            f"integrator {plan.integrator} not supported: only Euler is "
-            "implemented (all reference workloads compile to Euler)"
+            f"integrator {plan.integrator} not supported by euler(): Euler "
+            "and RK4 (via step()) are implemented (all reference workloads "
+            "compile to Euler)"
         )
     with jax.default_matmul_precision("highest"):
         return _euler_impl(plan, model, data)
@@ -174,9 +177,70 @@ def _euler_impl(plan: PhysicsPlan, model: Model, data: Data) -> Data:
     )
 
 
+# classic RK4 Butcher tableau (mj_RungeKutta with N=4)
+_RK4_A = ((0.5, 0.0, 0.0), (0.0, 0.5, 0.0), (0.0, 0.0, 1.0))
+_RK4_B = (1.0 / 6.0, 1.0 / 3.0, 1.0 / 3.0, 1.0 / 6.0)
+_RK4_C = (0.5, 0.5, 1.0)
+
+
+def rk4(plan: PhysicsPlan, model: Model, data: Data) -> Data:
+    """4th-order Runge-Kutta integration (mj_RungeKutta(m, d, 4) parity).
+
+    `data` must be post-`forward` (stage-0 derivatives come from it). Three
+    more full forward evaluations produce the remaining stage derivatives;
+    position updates integrate on the quaternion manifold via
+    `_integrate_pos` exactly as C does. Stage solves warmstart from the
+    step-initial qacc, matching mj_step's warmstart copy placement."""
+    dt = model.opt_timestep
+    time0, qpos0, qvel0, act0 = data.time, data.qpos, data.qvel, data.act
+    has_act = plan.na > 0
+
+    # C copies qacc -> qacc_warmstart after the step-initial forward; the
+    # three stage forwards (and the next step's) all use that warmstart
+    d = data.replace(qacc_warmstart=data.qacc)
+    derivs = [(d.qvel, d.qacc, d.act_dot)]
+    for i in range(1, 4):
+        a = _RK4_A[i - 1]
+        dqvel = sum(a[j] * derivs[j][0] for j in range(i) if a[j])
+        dqacc = sum(a[j] * derivs[j][1] for j in range(i) if a[j])
+        d = d.replace(
+            time=time0 + _RK4_C[i - 1] * dt,
+            qpos=_integrate_pos(plan, model, qpos0, dqvel, dt),
+            qvel=qvel0 + dt * dqacc,
+        )
+        if has_act:
+            dact = sum(a[j] * derivs[j][2] for j in range(i) if a[j])
+            d = d.replace(act=act0 + dt * dact)
+        d = forward(plan, model, d)
+        derivs.append((d.qvel, d.qacc, d.act_dot))
+
+    dqvel = sum(b * f[0] for b, f in zip(_RK4_B, derivs))
+    dqacc = sum(b * f[1] for b, f in zip(_RK4_B, derivs))
+    act = act0
+    if has_act:
+        act = act0 + dt * sum(b * f[2] for b, f in zip(_RK4_B, derivs))
+        limited = model.actuator_actlimited > 0
+        act = jnp.where(
+            limited,
+            jnp.clip(
+                act, model.actuator_actrange[:, 0], model.actuator_actrange[:, 1]
+            ),
+            act,
+        )
+    return data.replace(
+        time=time0 + dt,
+        qpos=_integrate_pos(plan, model, qpos0, dqvel, dt),
+        qvel=qvel0 + dt * dqacc,
+        act=act,
+        qacc_warmstart=data.qacc,
+    )
+
+
 def step(plan: PhysicsPlan, model: Model, data: Data) -> Data:
-    """One physics step: forward dynamics + Euler integration."""
+    """One physics step: forward dynamics + integration (Euler or RK4)."""
     data = forward(plan, model, data)
+    if plan.integrator == INT_RK4:
+        return rk4(plan, model, data)
     return euler(plan, model, data)
 
 
