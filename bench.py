@@ -295,22 +295,39 @@ def bench_trainer(
     num_updates_per_batch=4,
     epoch_steps_per_call=10,
     profile_dir=None,
+    use_lstm=False,
 ):
-    """training/sps from the real MLP trainer (reference metric definition),
+    """training/sps from the real trainer (reference metric definition),
     epoch-chunked to respect single-device-call runtime bounds. Also captures
-    eval/sps (reference definition: eval env-steps / eval epoch walltime)."""
+    eval/sps (reference definition: eval env-steps / eval epoch walltime).
+    With use_lstm, runs the LSTM pipeline (lstm_ppo trainer + LSTM intention
+    networks, hidden 128x2) instead of the MLP one."""
     import functools
 
-    from track_mjx_tpu.agent.mlp_ppo import ppo as mlp_ppo
-    from track_mjx_tpu.agent.mlp_ppo import ppo_networks
+    if use_lstm:
+        from track_mjx_tpu.agent.lstm_ppo import ppo as trainer_ppo
+        from track_mjx_tpu.agent.lstm_ppo import ppo_networks
 
-    factory = functools.partial(
-        ppo_networks.make_intention_ppo_networks,
-        intention_latent_size=cfg.network_config.intention_size,
-        encoder_hidden_layer_sizes=tuple(cfg.network_config.encoder_layer_sizes),
-        decoder_hidden_layer_sizes=tuple(cfg.network_config.decoder_layer_sizes),
-        value_hidden_layer_sizes=tuple(cfg.network_config.critic_layer_sizes),
-    )
+        factory = functools.partial(
+            ppo_networks.make_intention_ppo_networks,
+            intention_latent_size=cfg.network_config.intention_size,
+            hidden_state_size=128,
+            hidden_layer_num=2,
+            encoder_hidden_layer_sizes=tuple(cfg.network_config.encoder_layer_sizes),
+            decoder_hidden_layer_sizes=tuple(cfg.network_config.decoder_layer_sizes),
+            value_hidden_layer_sizes=tuple(cfg.network_config.critic_layer_sizes),
+        )
+    else:
+        from track_mjx_tpu.agent.mlp_ppo import ppo as trainer_ppo
+        from track_mjx_tpu.agent.mlp_ppo import ppo_networks
+
+        factory = functools.partial(
+            ppo_networks.make_intention_ppo_networks,
+            intention_latent_size=cfg.network_config.intention_size,
+            encoder_hidden_layer_sizes=tuple(cfg.network_config.encoder_layer_sizes),
+            decoder_hidden_layer_sizes=tuple(cfg.network_config.decoder_layer_sizes),
+            value_hidden_layer_sizes=tuple(cfg.network_config.critic_layer_sizes),
+        )
     sps_samples = []
     eval_sps_samples = []
 
@@ -325,12 +342,18 @@ def bench_trainer(
             f"reward={metrics.get('eval/episode_reward')}"
         )
 
-    mlp_ppo.train(
+    config_dict = {
+        "network_config": (
+            {"hidden_state_size": 128, "hidden_layer_num": 2} if use_lstm else {}
+        ),
+        "env_config": {"render_interval": 10_000},
+    }
+    trainer_ppo.train(
         environment=env,
         num_timesteps=num_timesteps,
         episode_length=195,
         ckpt_mgr=None,
-        config_dict={"network_config": {}, "env_config": {"render_interval": 10_000}},
+        config_dict=config_dict,
         num_envs=num_envs,
         num_eval_envs=128,
         learning_rate=1e-4,
@@ -344,7 +367,7 @@ def bench_trainer(
         num_updates_per_batch=num_updates_per_batch,
         num_evals=3,
         normalize_observations=True,
-        use_lstm=False,
+        use_lstm=use_lstm,
         deterministic_eval=True,
         network_factory=factory,
         progress_fn=progress,
@@ -373,6 +396,9 @@ def main():
                    help="use the standalone training-step microbench instead "
                         "of the real trainer")
     p.add_argument("--epoch-steps-per-call", type=int, default=2)
+    p.add_argument("--lstm", action="store_true",
+                   help="bench the LSTM pipeline (lstm_ppo trainer + LSTM "
+                        "intention networks) instead of the MLP one")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of ONE post-compile "
                         "training-epoch device call into this directory "
@@ -410,6 +436,7 @@ def main():
             num_updates_per_batch=args.updates_per_batch,
             epoch_steps_per_call=args.epoch_steps_per_call,
             profile_dir=args.profile_dir,
+            use_lstm=args.lstm,
         )
 
     baseline = None
@@ -433,6 +460,7 @@ def main():
                     "num_envs": args.num_envs,
                     "batch_size": args.batch_size,
                     "num_minibatches": args.num_minibatches,
+                    "pipeline": "lstm" if args.lstm else "mlp",
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -95,6 +95,48 @@ class TestStep:
         )
         assert np.asarray(state.info["prev_ctrl"] == a).all()
 
+    def test_jerk_cost_matches_rotation_form(self):
+        """The static-roll jerk cost must equal the reference's
+        buffer-doubling rotation (track_mjx reward.py:333-356) at every
+        ring position, including the wrap-around ones."""
+        from track_mjx_tpu.envs.task.reward import compute_jerk_cost
+
+        rng = np.random.RandomState(3)
+        w, nu = 7, 5
+        buffer = rng.randn(w, nu).astype(np.float32)
+        for idx in range(w):
+            got = float(
+                compute_jerk_cost(
+                    {"action_buffer": jp.array(buffer), "buffer_index": idx},
+                    w,
+                    0.25,
+                )
+            )
+            doubled = np.concatenate([buffer, buffer], axis=0)
+            ordered = doubled[idx : idx + w]
+            jerks = ordered[2:] - 2 * ordered[1:-1] + ordered[:-2]
+            want = 0.25 * float(np.sum(jerks**2))
+            assert got == pytest.approx(want, rel=1e-5), idx
+
+    def test_ring_buffer_vmap_positions(self, toy_env, reset_state):
+        """The one-hot ring write must land each action in its own slot
+        when buffer indices differ across the batch (the vmap case the
+        scatter rewrite must preserve)."""
+        batched = jax.vmap(lambda s, a: toy_env.step(s, a).info["action_buffer"])
+        n = 3
+        states = jax.tree.map(lambda x: jp.stack([x] * n), reset_state)
+        # stagger the ring positions across envs
+        states.info["buffer_index"] = jp.arange(n)
+        acts = jp.stack(
+            [jp.full(toy_env.action_size, 0.1 * (i + 1)) for i in range(n)]
+        )
+        bufs = np.asarray(jax.jit(batched)(states, acts))
+        for i in range(n):
+            np.testing.assert_allclose(bufs[i, i], 0.1 * (i + 1), rtol=1e-6)
+            np.testing.assert_allclose(
+                np.delete(bufs[i], i, axis=0), 0.0, atol=1e-7
+            )
+
     def test_reward_finite_and_metrics_update(self, toy_env, reset_state):
         step = jax.jit(toy_env.step)
         state = step(reset_state, jp.zeros(toy_env.action_size))

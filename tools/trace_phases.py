@@ -63,6 +63,18 @@ def main():
     for (b, ty), v in sorted(typeagg.items(), key=lambda kv: -kv[1])[:20]:
         print(f"  {v / 1e6:8.3f}s  {b:18s} {ty}")
 
+    # individual op rows: the scope path after the phase marker names the
+    # traced source region (jax named_scope / primitive), which is what
+    # actually localizes a hot dot_general/gather to a line of physics
+    print("\ntop 30 individual ops:")
+    for r in sorted(dev, key=lambda r: -r["total_self_time"])[:30]:
+        t = r["total_self_time"]
+        if r["operation"].startswith("IDLE"):
+            continue
+        op = r["operation"]
+        op = op if len(op) <= 140 else "…" + op[-139:]
+        print(f"  {t / 1e6:8.3f}s  {r['type']:15s} {op}")
+
 
 if __name__ == "__main__":
     main()

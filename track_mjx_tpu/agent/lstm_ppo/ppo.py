@@ -375,7 +375,10 @@ def train(
     training_state = TrainingState(
         optimizer_state=optimizer.init(init_params),
         params=init_params,
-        hidden_state=dummy_hidden_state,
+        # own copy: training_state and env_state are both donated to the
+        # epoch jit, so they must not share device buffers (the wrapper's
+        # reset hidden lives in env_state.info["hidden_state"] too)
+        hidden_state=jax.tree.map(lambda x: jnp.array(x), dummy_hidden_state),
         normalizer_params=running_statistics.init_state(
             jax.ShapeDtypeStruct(env_state.obs.shape[-1:], jnp.dtype("float32"))
         ),

@@ -7,8 +7,8 @@ Every term reproduces the reference formula exactly:
 - control/ctrl-diff costs w * sum(a^2) (:219-247)
 - energy cost clamped at 50 (:250-260)
 - termination penalties with axis-scaled position distance (:263-311)
-- windowed action-variance and jerk costs over the action ring buffer with the
-  buffer-doubling rotation trick (:314-356)
+- windowed action-variance and jerk costs over the action ring buffer
+  (:314-356; the jerk rotation is re-expressed with static circular shifts)
 The orchestrator returns the same 18-tuple as the reference (:359-485).
 """
 
@@ -16,7 +16,6 @@ from __future__ import annotations
 
 from typing import Any, Dict, Tuple, Union
 
-import jax
 import jax.numpy as jp
 from flax import struct
 
@@ -160,15 +159,23 @@ def compute_action_variance_cost(info: Dict[str, Any], var_weight: float):
 
 
 def compute_jerk_cost(info: Dict[str, Any], var_window_size: int, jerk_weight: float):
-    """Second-difference (jerk) cost over the time-ordered ring buffer,
-    rotated via the buffer-doubling dynamic-slice trick (reference :333-356)."""
+    """Second-difference (jerk) cost over the time-ordered ring buffer
+    (value parity with the reference's buffer-doubling rotation, :333-356)."""
     buffer = info["action_buffer"]
-    action_size = buffer.shape[-1]
     idx = info["buffer_index"]
-    doubled = jp.concatenate([buffer, buffer], axis=0)
-    ordered = jax.lax.dynamic_slice(doubled, (idx, 0), (var_window_size, action_size))
-    jerks = ordered[2:] - 2 * ordered[1:-1] + ordered[:-2]
-    return jerk_weight * jp.sum(jerks**2)
+    # The reference rotates the ring into time order with a buffer-doubling
+    # concat + dynamic_slice; per-env idx makes that a serialized gather
+    # under the batch vmap. Second differences are shift-invariant, so
+    # compute them circularly with STATIC rolls and mask out the two
+    # windows that cross the write point: time-ordered entry t lives at
+    # ring slot (idx+t) % W, so slots whose time position is >= W-2 are
+    # exactly the wrapping windows the reference's slice never forms.
+    d2 = (
+        jp.roll(buffer, -2, axis=0) - 2 * jp.roll(buffer, -1, axis=0) + buffer
+    )
+    time_pos = (jp.arange(var_window_size) - idx) % var_window_size
+    valid = time_pos < var_window_size - 2
+    return jerk_weight * jp.sum(jp.where(valid[:, None], d2, 0.0) ** 2)
 
 
 def compute_tracking_rewards(

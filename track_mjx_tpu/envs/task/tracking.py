@@ -29,7 +29,6 @@ import jax
 import mujoco
 import numpy as np
 from jax import numpy as jp
-from jax.flatten_util import ravel_pytree
 
 from track_mjx_tpu.envs.base import Env, State
 from track_mjx_tpu.envs.task.reward import RewardConfig, compute_tracking_rewards
@@ -231,7 +230,11 @@ class SingleClipTracking(Env):
         info["prev_ctrl"] = action
         buffer = info["action_buffer"]
         idx = info["buffer_index"]
-        buffer = buffer.at[idx].set(action)
+        # one-hot select instead of buffer.at[idx].set: a per-env dynamic
+        # index turns into an XLA scatter under the batch vmap (serialized
+        # on TPU); the select fuses into the surrounding elementwise ops
+        slot = jp.arange(buffer.shape[0]) == idx
+        buffer = jp.where(slot[:, None], action[None, :], buffer)
         idx = (idx + 1) % self._reward_config.var_window_size
         info["action_buffer"] = buffer
         info["buffer_index"] = idx
@@ -281,11 +284,18 @@ class SingleClipTracking(Env):
         )
         done = jp.max(jp.array([fall, too_far, bad_pose, bad_quat]))
 
-        # NaN containment (reference :287-293)
+        # NaN containment (reference :287-293). Summing isnan per leaf (vs
+        # the reference's ravel_pytree) lets XLA fuse the checks into each
+        # field's producer instead of materializing one giant concatenate of
+        # the whole pipeline state every control step; int leaves can't be
+        # NaN (the ravel's int->float cast never produces one).
         reward = jp.nan_to_num(reward)
         obs = jp.nan_to_num(obs)
-        flattened_vals, _ = ravel_pytree(data)
-        num_nans = jp.sum(jp.isnan(flattened_vals))
+        num_nans = sum(
+            jp.isnan(leaf).sum()
+            for leaf in jax.tree.leaves(data)
+            if jp.issubdtype(leaf.dtype, jp.floating)
+        )
         nan = jp.where(num_nans > 0, 1.0, 0.0)
         done = jp.max(jp.array([nan, done]))
 

@@ -15,9 +15,11 @@ physics/solver.py. Dispatch is via jax.custom_batching.custom_vmap like
 ops/batched_linalg.py: per-env solver code hits this kernel under vmap on
 TPU and a pure-jnp fallback elsewhere.
 
-VMEM at (n=73, nefc=187, 128 lanes): J 7 MB + L/LT 2 x 2.7 MB per block,
-double-buffered by the pipeline (grid over 128-lane batch tiles), plus ~2
-(e, n, T) matvec temporaries (7 MB each) on Mosaic's stack — ~40 MB total,
+VMEM at (n=73, nefc=187, 128 lanes): J 7 MB + L 2.7 MB per block,
+double-buffered by the pipeline (grid over 128-lane batch tiles), an L^T
+scratch (2.7 MB, built in-kernel — cheaper than DMAing a second HBM
+transpose of the factor in), plus ~2 (e, n, T) matvec temporaries (7 MB
+each) on Mosaic's stack — ~40 MB total,
 over the 16 MB *default* scoped limit but comfortably inside the v5e's
 128 MB VMEM, so the limit is raised via CompilerParams(vmem_limit_bytes).
 
@@ -53,17 +55,17 @@ _VMEM_BUDGET_BYTES = 64 * 2**20
 def kernel_available(n: int, nefc: int) -> bool:
     if pltpu is None or jax.default_backend() != "tpu":
         return False
-    blocks = 2 * (nefc * n + 2 * n * n) * LANE_TILE * 4  # double-buffered
+    blocks = 2 * (nefc * n + n * n) * LANE_TILE * 4  # double-buffered
+    scratch = n * n * LANE_TILE * 4  # in-kernel L^T
     temps = 2 * nefc * n * LANE_TILE * 4  # 3-D matvec products
     small = (4 * nefc + 8 * n) * LANE_TILE * 4
-    return nefc > 0 and blocks + temps + small <= _VMEM_BUDGET_BYTES
+    return nefc > 0 and blocks + scratch + temps + small <= _VMEM_BUDGET_BYTES
 
 
 def _cg_kernel(
     iterations: int,
     ls_iterations: int,
     l_ref,
-    lt_ref,
     j_ref,
     aref_ref,
     d_ref,
@@ -79,8 +81,13 @@ def _cg_kernel(
     p_ref,
     imp_ref,
     sol_ref,
+    lt_ref,
 ):
     n = l_ref.shape[0]
+    # L^T built once in scratch (ref dynamic slicing needs the row-major
+    # form for the backward substitution); cheaper than materializing an
+    # (n, n, B) transpose in HBM and DMAing it in as a second input
+    lt_ref[:] = jnp.swapaxes(l_ref[:], 0, 1)
     k_n = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     aref = aref_ref[:]
     d_rows = d_ref[:]
@@ -257,7 +264,6 @@ def _cg_solve_tpu(
     e = aref.shape[-1]
     # lane layout, padded to full tiles
     l_nn = _pad_tiles(jnp.moveaxis(qld, 0, -1), LANE_TILE)
-    lt_nn = _pad_tiles(jnp.moveaxis(jnp.swapaxes(qld, -1, -2), 0, -1), LANE_TILE)
     j_en = _pad_tiles(jnp.moveaxis(j, 0, -1), LANE_TILE)
     aref_e = _pad_tiles(jnp.moveaxis(aref, 0, -1), LANE_TILE)
     d_e = _pad_tiles(jnp.moveaxis(d, 0, -1), LANE_TILE)
@@ -292,7 +298,6 @@ def _cg_solve_tpu(
         ),
         in_specs=[
             lanes3(n, n),  # L
-            lanes3(n, n),  # L^T
             lanes3(e, n),  # J
             lanes(e),  # aref
             lanes(e),  # D
@@ -308,11 +313,12 @@ def _cg_solve_tpu(
             pltpu.VMEM((n, LANE_TILE), smooth.dtype),  # p
             pltpu.VMEM((1, LANE_TILE), smooth.dtype),  # improved mask
             pltpu.VMEM((n, LANE_TILE), smooth.dtype),  # substitution state
+            pltpu.VMEM((n, n, LANE_TILE), smooth.dtype),  # L^T
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT_BYTES
         ),
-    )(l_nn, lt_nn, j_en, aref_e, d_e, smooth_n, warm_n, tolscale_1)
+    )(l_nn, j_en, aref_e, d_e, smooth_n, warm_n, tolscale_1)
 
     def unlane(t):  # (rows, tiles*T) -> (B, rows)
         return jnp.moveaxis(t, 0, -1)[:bsz]
