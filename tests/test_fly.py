@@ -231,6 +231,8 @@ def test_elliptic_force_law_vs_c():
     class _FakePlan:
         nefc = 3
         ncon_ell = 1
+        ne = 0
+        nf = 0
 
     efc = type("E", (), {"D": D})()
     for u in [

@@ -1,4 +1,4 @@
-"""Constraint row assembly: joint limits + contact friction rows.
+"""Constraint row assembly: equality + frictionloss + joint limits + contacts.
 
 Produces dense, fixed-shape efc arrays (J, aref, D, active) consumed by the CG
 solver. Inactive candidate rows (limit not violated / contact separated) are
@@ -30,8 +30,20 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
+from track_mjx_tpu.ops import quaternion as quat_ops
 from track_mjx_tpu.physics.collision import Contact, contact_bodies
-from track_mjx_tpu.physics.model import CONE_ELLIPTIC, Data, Model, PhysicsPlan
+from track_mjx_tpu.physics.model import (
+    CONE_ELLIPTIC,
+    JNT_BALL,
+    JNT_FREE,
+    Data,
+    Model,
+    PhysicsPlan,
+)
+
+# Finite stand-in for an unbounded force limit: equality rows are bilateral
+# (never clamped). Kept well under f32 max so kernel arithmetic can't overflow.
+BIG_FORCE = 1e30
 
 
 @struct.dataclass
@@ -49,6 +61,11 @@ class EfcData:
     pos: jax.Array  # (nefc,) constraint violation (debug/metrics)
     active_row: jax.Array  # (nefc,) bool: candidate row is instantiated
     ell_mu: jax.Array  # (ncon_ell,) mu_1 per elliptic contact block
+    # per-row force bounds: force = clip(-D*jar, fmin, fmax). Equality rows
+    # (-BIG, BIG); frictionloss rows (-fl, fl); unilateral rows (0, BIG).
+    # Elliptic block rows carry (0, BIG) but are handled by the cone math.
+    fmin: jax.Array  # (nefc,)
+    fmax: jax.Array  # (nefc,)
 
 
 def _kbi(
@@ -108,14 +125,273 @@ def _dof_body_mask(plan: PhysicsPlan) -> np.ndarray:
     return mask
 
 
+def _body_point_jac(plan: PhysicsPlan, data: Data, body: int, point: jax.Array):
+    """World point jacobian (jacp, jacr) of `body` at `point`, (nv, 3) each.
+
+    Same cdof-based construction as mj_jac: translational rows are
+    cdof_v + cdof_w x (point - root com), masked to the body's ancestor dofs.
+    """
+    mask = jnp.asarray(_dof_body_mask(plan)[body], data.qpos.dtype)  # (nv,)
+    com = data.subtree_com[plan.body_rootid[plan.dof_bodyid]]  # (nv, 3)
+    w, v = data.cdof[:, :3], data.cdof[:, 3:]
+    jacp = (v + jnp.cross(w, point[None, :] - com)) * mask[:, None]
+    jacr = w * mask[:, None]
+    return jacp, jacr
+
+
+def _poly(coef: jax.Array, x: jax.Array):
+    """MuJoCo's quartic coupling polynomial and its derivative."""
+    val = coef[0] + x * (coef[1] + x * (coef[2] + x * (coef[3] + x * coef[4])))
+    deriv = coef[1] + x * (2 * coef[2] + x * (3 * coef[3] + x * 4 * coef[4]))
+    return val, deriv
+
+
+def _qpos_tangent(plan: PhysicsPlan, qpos: jax.Array, qvel: jax.Array):
+    """d(qpos)/dt induced by qvel: identity on scalar joints, quaternion
+    derivative qdot = 0.5 q*(0, w_local) on ball/free rotations."""
+    out = jnp.zeros_like(qpos)
+    scalar = np.nonzero(
+        (plan.jnt_type != JNT_BALL) & (plan.jnt_type != JNT_FREE)
+    )[0]
+    if len(scalar):
+        out = out.at[plan.jnt_qposadr[scalar]].set(
+            qvel[plan.jnt_dofadr[scalar]]
+        )
+    for j in np.nonzero(plan.jnt_type == JNT_FREE)[0]:
+        qadr, dadr = int(plan.jnt_qposadr[j]), int(plan.jnt_dofadr[j])
+        out = out.at[qadr : qadr + 3].set(qvel[dadr : dadr + 3])
+        w = jnp.concatenate([jnp.zeros(1, qpos.dtype), qvel[dadr + 3 : dadr + 6]])
+        out = out.at[qadr + 3 : qadr + 7].set(
+            0.5 * quat_ops.mul(qpos[qadr + 3 : qadr + 7], w)
+        )
+    for j in np.nonzero(plan.jnt_type == JNT_BALL)[0]:
+        qadr, dadr = int(plan.jnt_qposadr[j]), int(plan.jnt_dofadr[j])
+        w = jnp.concatenate([jnp.zeros(1, qpos.dtype), qvel[dadr : dadr + 3]])
+        out = out.at[qadr : qadr + 4].set(
+            0.5 * quat_ops.mul(qpos[qadr : qadr + 4], w)
+        )
+    return out
+
+
+def _connect_weld_blocks(plan: PhysicsPlan, model: Model, data: Data):
+    """(eq_id, J, pos, invweight_vec) blocks for connect (3 rows) and weld
+    (6 rows) constraints, built from kinematics-complete `data`."""
+    dtype = data.qpos.dtype
+    blocks = []
+
+    for e, b1, b2 in plan.eq_connect:
+        anchor1, anchor2 = model.eq_data[e, 0:3], model.eq_data[e, 3:6]
+        p1 = data.xpos[b1] + data.xmat[b1] @ anchor1
+        p2 = data.xpos[b2] + data.xmat[b2] @ anchor2
+        jacp1, _ = _body_point_jac(plan, data, b1, p1)
+        jacp2, _ = _body_point_jac(plan, data, b2, p2)
+        J = (jacp1 - jacp2).T  # (3, nv)
+        pos = p1 - p2
+        iw_t = model.body_invweight0[b1, 0] + model.body_invweight0[b2, 0]
+        blocks.append((e, J, pos, jnp.stack([iw_t] * 3)))
+
+    for e, b1, b2 in plan.eq_weld:
+        anchor2, anchor1 = model.eq_data[e, 0:3], model.eq_data[e, 3:6]
+        relq = model.eq_data[e, 6:10]
+        ts = model.eq_data[e, 10]
+        p1 = data.xpos[b1] + data.xmat[b1] @ anchor1
+        p2 = data.xpos[b2] + data.xmat[b2] @ anchor2
+        jacp1, jacr1 = _body_point_jac(plan, data, b1, p1)
+        jacp2, jacr2 = _body_point_jac(plan, data, b2, p2)
+        Jp = (jacp1 - jacp2).T
+        pos_p = p1 - p2
+        # rotation residual ts * vec(conj(q2) * q1 * relq); jacobian
+        # 0.5 * ts * A (jacr1 - jacr2) with A e_i = vec(conj(q2) e_i q1r)
+        q1, q2 = data.xquat[b1], data.xquat[b2]
+        q1r = quat_ops.mul(q1, relq)
+        q2inv = quat_ops.inv(q2)
+        pos_r = ts * quat_ops.mul(q2inv, q1r)[1:]
+        basis = jnp.eye(4, dtype=dtype)[1:]  # pure-vector unit quats
+        A = jnp.stack(
+            [quat_ops.mul(q2inv, quat_ops.mul(bq, q1r))[1:] for bq in basis],
+            axis=1,
+        )  # (3, 3): column i = vec(conj(q2) e_i q1r)
+        Jr = 0.5 * ts * (A @ (jacr1 - jacr2).T)
+        J = jnp.concatenate([Jp, Jr])
+        pos = jnp.concatenate([pos_p, pos_r])
+        iw_t = model.body_invweight0[b1, 0] + model.body_invweight0[b2, 0]
+        iw_r = model.body_invweight0[b1, 1] + model.body_invweight0[b2, 1]
+        blocks.append((e, J, pos, jnp.stack([iw_t] * 3 + [iw_r] * 3)))
+
+    return blocks
+
+
+def _connect_weld_jdot_qvel(plan: PhysicsPlan, model: Model, data: Data):
+    """Exact Jdot @ qvel for the stacked connect/weld rows via jvp through
+    kinematics: d/dt [J(qpos(t)) @ qvel] at fixed qvel. C adds this
+    second-order term to connect/weld aref (mj_referenceConstraint consumes
+    efc_vel built with jacDot for these rows; probe-verified: the residual
+    aref - (-B*vel - K*I*pos) equals -Jdot@qvel to f32 roundoff)."""
+    from track_mjx_tpu.physics import com as _com
+    from track_mjx_tpu.physics import kinematics as _kinematics
+
+    qvel = data.qvel
+
+    def vel_rows(qpos):
+        d = _kinematics.kinematics(plan, model, data.replace(qpos=qpos))
+        d = _com.com_pos(plan, model, d)
+        blocks = _connect_weld_blocks(plan, model, d)
+        return jnp.concatenate([J @ qvel for _, J, _, _ in blocks])
+
+    tangent = _qpos_tangent(plan, data.qpos, qvel)
+    _, jdot_qvel = jax.jvp(vel_rows, (data.qpos,), (tangent,))
+    return jdot_qvel
+
+
+def _equality_rows(plan: PhysicsPlan, model: Model, data: Data):
+    """Equality constraint rows (mj_instantiateEquality parity, probe-verified
+    against C: J/pos/aref/D match to f32 for connect/weld/joint/tendon).
+
+    Impedance is evaluated on the NORM of the constraint's residual vector
+    (all of its rows), as C does; row impedances within one constraint are
+    equal. Weld rotation rows bake torquescale into J and pos. Connect/weld
+    aref carries the second-order -Jdot@qvel term C applies to those rows
+    (joint/tendon equality rows do not get it, matching C). Blocks are
+    emitted in eq-id order, matching C's efc row order for mixed types.
+    """
+    dtype = data.qpos.dtype
+    nv = plan.nv
+    out = []  # (eq_id, J, aref, D, pos) blocks
+
+    def kbi_norm(e, res):
+        norm = jnp.sqrt(jnp.maximum(jnp.sum(res * res), 1e-30))
+        return _kbi(model, model.eq_solref[e], model.eq_solimp[e], norm)
+
+    cw_blocks = _connect_weld_blocks(plan, model, data)
+    if cw_blocks:
+        jdot_qvel = _connect_weld_jdot_qvel(plan, model, data)
+        row0 = 0
+        for e, J, pos, iw in cw_blocks:
+            nrow = J.shape[0]
+            k, b, imp = kbi_norm(e, pos)
+            vel = J @ data.qvel
+            jdot = jdot_qvel[row0 : row0 + nrow]
+            row0 += nrow
+            aref = -b * vel - k * imp * pos - jdot
+            D = imp / jnp.maximum((1.0 - imp) * iw, 1e-12)
+            out.append((e, J, aref, D.astype(dtype), pos))
+
+    for e, j1, j2 in plan.eq_joint:
+        d1, q1adr = int(plan.jnt_dofadr[j1]), int(plan.jnt_qposadr[j1])
+        pos1 = data.qpos[q1adr] - model.qpos0[q1adr]
+        J = jnp.zeros(nv, dtype).at[d1].set(1.0)
+        if j2 >= 0:
+            d2, q2adr = int(plan.jnt_dofadr[j2]), int(plan.jnt_qposadr[j2])
+            dif = data.qpos[q2adr] - model.qpos0[q2adr]
+            val, deriv = _poly(model.eq_data[e], dif)
+            pos = pos1 - val
+            J = J.at[d2].set(-deriv)
+            invweight = model.dof_invweight0[d1] + model.dof_invweight0[d2]
+        else:
+            pos = pos1 - model.eq_data[e, 0]
+            invweight = model.dof_invweight0[d1]
+        k, b, imp = kbi_norm(e, pos)
+        aref = -b * (J @ data.qvel) - k * imp * pos
+        D = imp / jnp.maximum((1.0 - imp) * invweight, 1e-12)
+        out.append((e, J[None], aref[None], D[None], pos[None]))
+
+    if plan.eq_tendon:
+        lengths = model.tendon_length_mat @ data.qpos + model.tendon_length0_const
+        for e, t1, t2 in plan.eq_tendon:
+            pos1 = lengths[t1] - model.tendon_length0[t1]
+            J = model.tendon_moment[t1]
+            if t2 >= 0:
+                dif = lengths[t2] - model.tendon_length0[t2]
+                val, deriv = _poly(model.eq_data[e], dif)
+                pos = pos1 - val
+                J = J - deriv * model.tendon_moment[t2]
+                invweight = (
+                    model.tendon_invweight0[t1] + model.tendon_invweight0[t2]
+                )
+            else:
+                pos = pos1 - model.eq_data[e, 0]
+                invweight = model.tendon_invweight0[t1]
+            k, b, imp = kbi_norm(e, pos)
+            aref = -b * (J @ data.qvel) - k * imp * pos
+            D = imp / jnp.maximum((1.0 - imp) * invweight, 1e-12)
+            out.append((e, J[None], aref[None], D[None], pos[None]))
+
+    out.sort(key=lambda block: block[0])
+    return [block[1:] for block in out]
+
+
+def _friction_rows(plan: PhysicsPlan, model: Model, data: Data):
+    """Dof/tendon frictionloss rows: pos = 0 always, K forced to 0
+    (aref = -B * vel), force box-clamped to +/- frictionloss by the solver."""
+    dtype = data.qpos.dtype
+    nv = plan.nv
+    out = []  # (J, aref, D, floss) blocks
+
+    ids = plan.friction_dof_ids
+    if len(ids):
+        J = jnp.zeros((len(ids), nv), dtype).at[jnp.arange(len(ids)), ids].set(1.0)
+        zero = jnp.zeros(len(ids), dtype)
+        _, b, imp = _kbi(
+            model, model.dof_solref_fri[ids], model.dof_solimp_fri[ids], zero
+        )
+        aref = -b * data.qvel[ids]
+        D = imp / jnp.maximum((1.0 - imp) * model.dof_invweight0[ids], 1e-12)
+        out.append((J, aref, D, model.dof_frictionloss[ids]))
+
+    tids = plan.friction_tendon_ids
+    if len(tids):
+        J = model.tendon_moment[tids]
+        zero = jnp.zeros(len(tids), dtype)
+        _, b, imp = _kbi(
+            model,
+            model.tendon_solref_fri[tids],
+            model.tendon_solimp_fri[tids],
+            zero,
+        )
+        aref = -b * (J @ data.qvel)
+        D = imp / jnp.maximum(
+            (1.0 - imp) * model.tendon_invweight0[tids], 1e-12
+        )
+        out.append((J, aref, D, model.tendon_frictionloss[tids]))
+
+    return out
+
+
 def make_constraint(
     plan: PhysicsPlan, model: Model, data: Data, contact: Contact
 ) -> EfcData:
-    """Assembles all efc rows with static shapes."""
+    """Assembles all efc rows with static shapes (C row order: equality,
+    frictionloss, limits, contacts)."""
     dtype = data.qpos.dtype
     nv = plan.nv
     rows_J, rows_aref, rows_D, rows_pos, rows_act = [], [], [], [], []
+    rows_fmin, rows_fmax = [], []
     ell_mu = jnp.zeros(0, dtype)
+
+    def push(J, aref, D, pos, act, fmin, fmax):
+        rows_J.append(J)
+        rows_aref.append(aref)
+        rows_D.append(D)
+        rows_pos.append(pos)
+        rows_act.append(act)
+        rows_fmin.append(jnp.broadcast_to(fmin, D.shape).astype(dtype))
+        rows_fmax.append(jnp.broadcast_to(fmax, D.shape).astype(dtype))
+
+    # --- equality rows (bilateral, always active) ---
+    for J, aref, D, pos in _equality_rows(plan, model, data):
+        push(J, aref, D, pos, jnp.ones(D.shape, bool), -BIG_FORCE, BIG_FORCE)
+
+    # --- frictionloss rows (box-clamped force) ---
+    for J, aref, D, floss in _friction_rows(plan, model, data):
+        push(
+            J,
+            aref,
+            D,
+            jnp.zeros(D.shape, dtype),
+            jnp.ones(D.shape, bool),
+            -floss,
+            floss,
+        )
 
     # --- joint limits (hinge/slide), one row per limited joint ---
     jids = plan.limited_jnt_ids
@@ -143,11 +419,7 @@ def make_constraint(
         invweight = model.dof_invweight0[dadr]
         D = imp / jnp.maximum((1.0 - imp) * invweight, 1e-12)
 
-        rows_J.append(J)
-        rows_aref.append(jnp.where(active, aref, 0.0))
-        rows_D.append(D)
-        rows_pos.append(pos)
-        rows_act.append(active)
+        push(J, jnp.where(active, aref, 0.0), D, pos, active, 0.0, BIG_FORCE)
 
     # --- contacts: pyramidal friction cone ---
     ncon = plan.ncon
@@ -187,11 +459,7 @@ def make_constraint(
             D = imp[cd1] / jnp.maximum(
                 (1.0 - imp[cd1]) * invweight_n[cd1], 1e-12
             )
-            rows_J.append(J)
-            rows_aref.append(aref)
-            rows_D.append(D)
-            rows_pos.append(pos[cd1])
-            rows_act.append(active[cd1])
+            push(J, aref, D, pos[cd1], active[cd1], 0.0, BIG_FORCE)
 
         if len(cd3) and plan.cone == CONE_ELLIPTIC:
             # elliptic: condim rows per contact [normal, t1, t2], one block
@@ -212,16 +480,18 @@ def make_constraint(
             D_f = D_n[:, None] * model.opt_impratio * (mu / mu1[:, None]) ** 2
             D = jnp.concatenate([D_n[:, None], D_f], axis=1)
             nrows = len(cd3) * 3
-            rows_J.append(J.reshape(nrows, nv))
-            rows_aref.append(aref.reshape(nrows))
-            rows_D.append(D.reshape(nrows))
-            rows_pos.append(
+            push(
+                J.reshape(nrows, nv),
+                aref.reshape(nrows),
+                D.reshape(nrows),
                 jnp.stack(
                     [pos[cd3], jnp.zeros_like(pos[cd3]), jnp.zeros_like(pos[cd3])],
                     axis=1,
-                ).reshape(nrows)
+                ).reshape(nrows),
+                jnp.repeat(active[cd3], 3),
+                0.0,
+                BIG_FORCE,
             )
-            rows_act.append(jnp.repeat(active[cd3], 3))
             ell_mu = mu1
         elif len(cd3):
             # pyramid rows: jn +/- mu_i * jt_i for i in (0, 1)
@@ -243,11 +513,15 @@ def make_constraint(
             imp3 = imp[cd3, None]
             D = imp3 / jnp.maximum((1.0 - imp3) * invweight_pyr, 1e-12)
             nrows = len(cd3) * 4
-            rows_J.append(J.reshape(nrows, nv))
-            rows_aref.append(aref.reshape(nrows))
-            rows_D.append(D.reshape(nrows))
-            rows_pos.append(jnp.repeat(pos[cd3], 4))
-            rows_act.append(jnp.repeat(active[cd3], 4))
+            push(
+                J.reshape(nrows, nv),
+                aref.reshape(nrows),
+                D.reshape(nrows),
+                jnp.repeat(pos[cd3], 4),
+                jnp.repeat(active[cd3], 4),
+                0.0,
+                BIG_FORCE,
+            )
 
     if not rows_J:
         return EfcData(
@@ -257,6 +531,8 @@ def make_constraint(
             pos=jnp.zeros(0, dtype),
             active_row=jnp.zeros(0, bool),
             ell_mu=ell_mu,
+            fmin=jnp.zeros(0, dtype),
+            fmax=jnp.zeros(0, dtype),
         )
     return EfcData(
         J=jnp.concatenate(rows_J),
@@ -265,4 +541,6 @@ def make_constraint(
         pos=jnp.concatenate(rows_pos),
         active_row=jnp.concatenate(rows_act),
         ell_mu=ell_mu,
+        fmin=jnp.concatenate(rows_fmin),
+        fmax=jnp.concatenate(rows_fmax),
     )

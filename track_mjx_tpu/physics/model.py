@@ -43,6 +43,8 @@ BIAS_NONE, BIAS_AFFINE, BIAS_MUSCLE = 0, 1, 2
 SOLVER_PGS, SOLVER_CG, SOLVER_NEWTON = 0, 1, 2
 INT_EULER, INT_RK4, INT_IMPLICIT, INT_IMPLICITFAST = 0, 1, 2, 3
 CONE_PYRAMIDAL, CONE_ELLIPTIC = 0, 1
+EQ_CONNECT, EQ_WELD, EQ_JOINT, EQ_TENDON = 0, 1, 2, 3
+OBJ_BODY = 1  # mjOBJ_BODY (connect/weld site-anchored variants unsupported)
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -62,9 +64,20 @@ class PhysicsPlan:
     nsensor: int
     nsensordata: int
     ncon: int  # static candidate contact count
-    nefc: int  # static constraint row count (limits + friction rows)
+    nefc: int  # static constraint row count (eq + friction + limits + contacts)
+    ne: int  # equality rows (FIRST ne efc rows, C row order)
+    nf: int  # dof/tendon frictionloss rows (next nf efc rows)
     nlimit: int
     ncon_ell: int  # elliptic cone blocks (last 3*ncon_ell efc rows); 0 if pyramidal
+    # equality constraints (static structure; mj_instantiateEquality parity).
+    # Each entry: (eq_id, obj1, obj2). Only eq_active0 constraints are packed —
+    # runtime eq_active toggling is not supported (loudly documented).
+    eq_connect: tuple  # ((eq_id, body1, body2), ...)
+    eq_weld: tuple  # ((eq_id, body1, body2), ...)
+    eq_joint: tuple  # ((eq_id, jnt1, jnt2), ...); jnt2 = -1 for constant
+    eq_tendon: tuple  # ((eq_id, ten1, ten2), ...); ten2 = -1 for constant
+    friction_dof_ids: np.ndarray  # dofs with frictionloss > 0
+    friction_tendon_ids: np.ndarray  # fixed tendons with frictionloss > 0
 
     # topology (numpy, trace-time constants)
     body_parentid: np.ndarray
@@ -154,6 +167,13 @@ class Model:
     dof_damping: jax.Array
     dof_armature: jax.Array
     dof_invweight0: jax.Array
+    dof_frictionloss: jax.Array
+    dof_solref_fri: jax.Array  # (nv, 2) friction-row solref (mjModel.dof_solref)
+    dof_solimp_fri: jax.Array  # (nv, 5) friction-row solimp (mjModel.dof_solimp)
+    # equality constraints (neq_active rows of each; packed in plan order)
+    eq_data: jax.Array  # (neq, 11)
+    eq_solref: jax.Array  # (neq, 2)
+    eq_solimp: jax.Array  # (neq, 5)
     geom_pos: jax.Array
     geom_quat: jax.Array
     geom_size: jax.Array
@@ -170,6 +190,11 @@ class Model:
     tendon_moment: jax.Array  # (ntendon, nv)
     tendon_length_mat: jax.Array  # (ntendon, nq) for hinge/slide coupling
     tendon_length0_const: jax.Array  # (ntendon,) constant offset
+    tendon_length0: jax.Array  # (ntendon,) length at qpos0 (eq-residual ref)
+    tendon_invweight0: jax.Array  # (ntendon,)
+    tendon_frictionloss: jax.Array  # (ntendon,)
+    tendon_solref_fri: jax.Array  # (ntendon, 2)
+    tendon_solimp_fri: jax.Array  # (ntendon, 5)
     # actuators
     actuator_gear0: jax.Array  # (nu,)
     actuator_len_mat: jax.Array  # (nu, nq): length = len_mat @ qpos + len_const
@@ -378,10 +403,34 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> tuple[PhysicsPlan, Model]
     """Packs a compiled MjModel into (PhysicsPlan, Model) device structures."""
     if m.nflex:
         raise NotImplementedError("flex not supported")
-    if m.neq:
-        raise NotImplementedError("equality constraints not yet supported")
-    if (m.dof_frictionloss != 0).any():
-        raise NotImplementedError("dof frictionloss not yet supported")
+    eq_connect, eq_weld, eq_joint, eq_tendon = [], [], [], []
+    for e in range(m.neq):
+        if not m.eq_active0[e]:
+            continue  # statically inactive; runtime eq_active flips unsupported
+        ty = int(m.eq_type[e])
+        o1, o2 = int(m.eq_obj1id[e]), int(m.eq_obj2id[e])
+        if ty in (EQ_CONNECT, EQ_WELD):
+            if int(m.eq_objtype[e]) != OBJ_BODY:
+                raise NotImplementedError(
+                    "site-anchored connect/weld equality not supported"
+                )
+            (eq_connect if ty == EQ_CONNECT else eq_weld).append((e, o1, o2))
+        elif ty == EQ_JOINT:
+            if m.jnt_type[o1] not in (JNT_HINGE, JNT_SLIDE) or (
+                o2 >= 0 and m.jnt_type[o2] not in (JNT_HINGE, JNT_SLIDE)
+            ):
+                raise NotImplementedError("joint equality on non-scalar joint")
+            eq_joint.append((e, o1, o2))
+        elif ty == EQ_TENDON:
+            eq_tendon.append((e, o1, o2))
+        else:
+            raise NotImplementedError(f"equality type {ty} not supported")
+    ne = 3 * len(eq_connect) + 6 * len(eq_weld) + len(eq_joint) + len(eq_tendon)
+    friction_dof = np.nonzero(m.dof_frictionloss > 0)[0]
+    friction_ten = np.nonzero(m.tendon_frictionloss > 0)[0] if m.ntendon else (
+        np.zeros(0, np.int64)
+    )
+    nf = len(friction_dof) + len(friction_ten)
     condims = set(int(c) for c in m.geom_condim)
     if condims - {1, 3}:
         raise NotImplementedError(f"condim {condims} not supported (need 1 or 3)")
@@ -414,13 +463,14 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> tuple[PhysicsPlan, Model]
         & ((m.jnt_type == JNT_HINGE) | (m.jnt_type == JNT_SLIDE))
     )[0]
     nlimit = len(limited_jnt)
-    # efc rows: limits (1 each) + per-contact friction rows (pyramidal:
-    # 2*(condim-1) unilateral rows; elliptic: condim rows forming one cone)
+    # efc rows in C order: equality + frictionloss + limits + per-contact
+    # friction rows (pyramidal: 2*(condim-1) unilateral rows; elliptic:
+    # condim rows forming one cone)
     if int(m.opt.cone) == CONE_ELLIPTIC:
         rows_per_con = np.where(contact_condim == 1, 1, contact_condim)
     else:
         rows_per_con = np.where(contact_condim == 1, 1, 2 * (contact_condim - 1))
-    nefc = nlimit + int(rows_per_con.sum())
+    nefc = ne + nf + nlimit + int(rows_per_con.sum())
 
     tendon_moment, tendon_len_mat, tendon_len_const = _fixed_tendon_matrices(m)
     act_len_mat, act_len_const, act_moment, gear0 = _transmission_matrices(
@@ -441,7 +491,15 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> tuple[PhysicsPlan, Model]
         nsensordata=m.nsensordata,
         ncon=ncon,
         nefc=nefc,
+        ne=ne,
+        nf=nf,
         nlimit=nlimit,
+        eq_connect=tuple(eq_connect),
+        eq_weld=tuple(eq_weld),
+        eq_joint=tuple(eq_joint),
+        eq_tendon=tuple(eq_tendon),
+        friction_dof_ids=friction_dof,
+        friction_tendon_ids=friction_ten,
         ncon_ell=(
             int((contact_condim >= 3).sum())
             if int(m.opt.cone) == CONE_ELLIPTIC
@@ -525,6 +583,12 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> tuple[PhysicsPlan, Model]
         dof_damping=a(m.dof_damping),
         dof_armature=a(m.dof_armature),
         dof_invweight0=a(m.dof_invweight0),
+        dof_frictionloss=a(m.dof_frictionloss),
+        dof_solref_fri=a(m.dof_solref),
+        dof_solimp_fri=a(m.dof_solimp),
+        eq_data=a(m.eq_data),
+        eq_solref=a(m.eq_solref),
+        eq_solimp=a(m.eq_solimp),
         geom_pos=a(m.geom_pos),
         geom_quat=a(m.geom_quat),
         geom_size=a(m.geom_size),
@@ -540,6 +604,11 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> tuple[PhysicsPlan, Model]
         tendon_moment=a(tendon_moment),
         tendon_length_mat=a(tendon_len_mat),
         tendon_length0_const=a(tendon_len_const),
+        tendon_length0=a(m.tendon_length0),
+        tendon_invweight0=a(m.tendon_invweight0),
+        tendon_frictionloss=a(m.tendon_frictionloss),
+        tendon_solref_fri=a(m.tendon_solref_fri),
+        tendon_solimp_fri=a(m.tendon_solimp_fri),
         actuator_gear0=a(gear0),
         actuator_len_mat=a(act_len_mat),
         actuator_len_const=a(act_len_const),

@@ -18,10 +18,11 @@ Conventions (verified empirically against MuJoCo C 3.10 on a probe scene):
   ``ft_i = (pyr[2i] - pyr[2i+1]) * mu_i`` (``mju_decodePyramid``); elliptic
   blocks are already ``[normal, tangent1, tangent2]`` in the contact frame.
 
-Scope: contact forces only. ``xfrc_applied`` perturbations and equality
-constraints are not represented in this engine (``put_model`` rejects
-equality constraints; there is no ``xfrc_applied`` state), so their
-contributions — zero in every shipped workload — are absent.
+Scope: contact forces only (the contact-accumulation half of C's
+``mj_rnePostConstraint``). ``xfrc_applied`` perturbations have no state in
+this engine, and equality-constraint wrenches (C adds connect/weld forces to
+``cfrc_ext``) are not accumulated here — both are zero in every shipped
+workload.
 """
 
 from __future__ import annotations
@@ -50,9 +51,10 @@ def cfrc_ext(plan: PhysicsPlan, model: Model, data: Data) -> jax.Array:
     friction, _, _, includemargin = _combine_params(model, geom1, geom2)
     active = data.contact_dist < includemargin
 
-    # efc row layout (constraint.make_constraint): [joint limits, condim-1
-    # normal rows, condim-3 blocks (4 pyramid rows / 3 elliptic rows each)].
-    n_lim = len(plan.limited_jnt_ids)
+    # efc row layout (constraint.make_constraint): [equality, frictionloss,
+    # joint limits, condim-1 normal rows, condim-3 blocks (4 pyramid rows /
+    # 3 elliptic rows each)].
+    n_lim = plan.ne + plan.nf + len(plan.limited_jnt_ids)
     cd1 = np.nonzero(plan.contact_condim == 1)[0]
     cd3 = np.nonzero(plan.contact_condim >= 3)[0]
     off3 = n_lim + len(cd1)

@@ -4,9 +4,13 @@ Minimizes the soft-constraint objective over qacc:
 
     phi(x) = 0.5 (x - qacc_smooth)^T M (x - qacc_smooth) + s(J x - aref)
 
-where s() sums per-constraint costs. Unilateral scalar rows (joint limits,
-condim-1 contacts, pyramidal friction rows) contribute 0.5*D_i*jar_i^2 when
-jar_i < 0. Elliptic cone blocks (cone="elliptic", condim-3 contacts)
+where s() sums per-constraint costs. Scalar rows carry per-row force bounds
+(force = clip(-D*jar, fmin, fmax)): unilateral rows (joint limits, condim-1
+contacts, pyramidal friction rows; bounds (0, inf)) contribute
+0.5*D_i*jar_i^2 when jar_i < 0; equality rows (bounds (-inf, inf)) always;
+dof/tendon frictionloss rows (bounds (-fl, fl)) quadratically in the middle
+zone and linearly outside. Elliptic cone blocks (cone="elliptic", condim-3
+contacts)
 contribute the cone cost reverse-engineered from MuJoCo's mj_constraintUpdate:
 the contact force is the projection of -D∘u onto the friction cone
 {f : f_n >= ||(f_t_i / mu_i)||} in the D^-1 metric. Because MuJoCo sets
@@ -46,27 +50,56 @@ from track_mjx_tpu.physics.model import Data, Model, PhysicsPlan
 _EPS = 1e-12
 
 
+def _scalar_zone(jar, d, fmin, fmax):
+    """Box-clamped scalar-row force and quadratic-zone mask.
+
+    force = clip(-D*jar, fmin, fmax). Unilateral rows (fmin=0) reduce to
+    where(jar<0, -D*jar, 0); equality rows (fmin=-BIG) are never clamped;
+    frictionloss rows saturate at +/- frictionloss — the three-zone friction
+    cost of mj_constraintUpdate."""
+    f_un = -d * jar
+    f = jnp.clip(f_un, fmin, fmax)
+    quad = (f_un > fmin) & (f_un < fmax)
+    return f, quad
+
+
+def _scalar_cost_bounded(jar, d, fmin, fmax):
+    """Per-row cost: quadratic inside the force box, linear outside
+    (cost = |f_clamp|*|jar| - f_clamp^2/(2D), continuous at the boundary)."""
+    f, quad = _scalar_zone(jar, d, fmin, fmax)
+    lin = -f * jar - 0.5 * f * f / jnp.maximum(d, _EPS)
+    return jnp.where(quad, 0.5 * d * jar * jar, lin)
+
+
 # ---------------------------------------------------------------------------
 # scalar-row (pyramidal/limits) solve: per-env function + fused-kernel dispatch
 # ---------------------------------------------------------------------------
 
 
 def _scalar_cg_single(
-    iterations, ls_iterations, qm, qld, j, aref, d, smooth, warm, tol
+    iterations, ls_iterations, qm, qld, j, aref, d, smooth, warm, tol,
+    fmin=None, fmax=None,
 ):
-    """One env's CG solve over unilateral scalar rows -> (x, force, qfrc).
+    """One env's CG solve over scalar rows -> (x, force, qfrc).
 
-    This is the numerics-pinned path: op ordering matches round 1 exactly
-    (golden trajectory tests); the fused TPU kernel mirrors it."""
+    With fmin/fmax None (all rows unilateral: limits/condim-1/pyramidal) this
+    is the numerics-pinned path: op ordering matches round 1 exactly (golden
+    trajectory tests); the fused TPU kernel mirrors it. With bounds given,
+    rows are box-clamped (equality / frictionloss models)."""
+    bounded = fmin is not None
 
     def cost(x):
         dx = x - smooth
         jar = j @ x - aref
-        return 0.5 * jnp.dot(dx, qm @ dx) + 0.5 * jnp.sum(
-            jnp.where(jar < 0, d * jar * jar, 0.0)
-        )
+        if bounded:
+            rows = jnp.sum(_scalar_cost_bounded(jar, d, fmin, fmax))
+        else:
+            rows = 0.5 * jnp.sum(jnp.where(jar < 0, d * jar * jar, 0.0))
+        return 0.5 * jnp.dot(dx, qm @ dx) + rows
 
     def force_of(jar):
+        if bounded:
+            return _scalar_zone(jar, d, fmin, fmax)[0]
         return jnp.where(jar < 0, -d * jar, 0.0)
 
     def cost_grad(x):
@@ -83,6 +116,13 @@ def _scalar_cg_single(
 
         def phi_derivs(alpha):
             jar = jar0 + alpha * jp
+            if bounded:
+                f, quad = _scalar_zone(jar, d, fmin, fmax)
+                d1 = alpha * pmp + dmx + jnp.sum(
+                    jnp.where(quad, d * jar * jp, -f * jp)
+                )
+                d2 = pmp + jnp.sum(jnp.where(quad, d * jp * jp, 0.0))
+                return d1, jnp.maximum(d2, _EPS)
             active = jar < 0
             d1 = alpha * pmp + dmx + jnp.sum(
                 jnp.where(active, d * jar * jp, 0.0)
@@ -213,7 +253,12 @@ def _force(plan: PhysicsPlan, efc: EfcData, ell: _EllConst | None, jar: jax.Arra
     """Constraint force per row: -ds/djar. (nefc,)"""
     jar_s, u = _split(plan, jar)
     d_s, d_b = _split(plan, efc.D)
-    f_s = jnp.where(jar_s < 0, -d_s * jar_s, 0.0)
+    if plan.ne or plan.nf:
+        f_s, _ = _scalar_zone(
+            jar_s, d_s, _split(plan, efc.fmin)[0], _split(plan, efc.fmax)[0]
+        )
+    else:
+        f_s = jnp.where(jar_s < 0, -d_s * jar_s, 0.0)
     if ell is None:
         return f_s
     f_blk = _force_blocks(ell, d_b, u)
@@ -224,7 +269,17 @@ def _cost_rows(plan: PhysicsPlan, efc: EfcData, ell: _EllConst | None, jar: jax.
     """Total constraint cost s(jar) (scalar)."""
     jar_s, u = _split(plan, jar)
     d_s, _ = _split(plan, efc.D)
-    c = 0.5 * jnp.sum(jnp.where(jar_s < 0, d_s * jar_s * jar_s, 0.0))
+    if plan.ne or plan.nf:
+        c = jnp.sum(
+            _scalar_cost_bounded(
+                jar_s,
+                d_s,
+                _split(plan, efc.fmin)[0],
+                _split(plan, efc.fmax)[0],
+            )
+        )
+    else:
+        c = 0.5 * jnp.sum(jnp.where(jar_s < 0, d_s * jar_s * jar_s, 0.0))
     if ell is None:
         return c
     p, n, t_vec, t, bottom, top, s_star = _ell_zones(ell, u)
@@ -282,19 +337,34 @@ def _linesearch(
         qt = q[:, 1:]
         qq_t = jnp.sum(qt * qt, axis=1)
 
+    bounded = bool(plan.ne or plan.nf)
+    if bounded:
+        fmin_s = _split(plan, efc.fmin)[0]
+        fmax_s = _split(plan, efc.fmax)[0]
+
     def phi_derivs(alpha):
         jar = jar0 + alpha * jp
         jar_s, u = _split(plan, jar)
-        active = jar_s < 0
-        # scalar-row d1 uses the fused where-sum (not dot(jp, force)): the
-        # fused form matches round-1 numerics exactly
-        d1 = alpha * pmp + dmx + jnp.sum(
-            jnp.where(active, d_s * jar_s * jp_s, 0.0)
-        )
-        if ell is not None:
-            f_blk = _force_blocks(ell, d_b, u)
-            d1 = d1 - jnp.sum(jp_b * f_blk)
-        d2 = pmp + jnp.sum(jnp.where(active, d_s * jp_s * jp_s, 0.0))
+        if bounded:
+            f_s, quad = _scalar_zone(jar_s, d_s, fmin_s, fmax_s)
+            d1 = alpha * pmp + dmx + jnp.sum(
+                jnp.where(quad, d_s * jar_s * jp_s, -f_s * jp_s)
+            )
+            d2 = pmp + jnp.sum(jnp.where(quad, d_s * jp_s * jp_s, 0.0))
+            if ell is not None:
+                f_blk = _force_blocks(ell, d_b, u)
+                d1 = d1 - jnp.sum(jp_b * f_blk)
+        else:
+            active = jar_s < 0
+            # scalar-row d1 uses the fused where-sum (not dot(jp, force)): the
+            # fused form matches round-1 numerics exactly
+            d1 = alpha * pmp + dmx + jnp.sum(
+                jnp.where(active, d_s * jar_s * jp_s, 0.0)
+            )
+            if ell is not None:
+                f_blk = _force_blocks(ell, d_b, u)
+                d1 = d1 - jnp.sum(jp_b * f_blk)
+            d2 = pmp + jnp.sum(jnp.where(active, d_s * jp_s * jp_s, 0.0))
         if ell is not None:
             p_blk, n, t_vec, t, bottom, top, s_star = _ell_zones(ell, u)
             mu = ell.mu_t
@@ -396,7 +466,14 @@ def _newton(
 
     def body(_, s: _NewtonState) -> _NewtonState:
         jar, grad = _cost_grad(plan, efc, None, data, s.x)
-        active = (jar < 0).astype(dtype)
+        if plan.ne or plan.nf:
+            # equality rows always curve; friction rows only in the middle
+            # (quadratic) zone — clamped rows contribute no Hessian
+            active = _scalar_zone(jar, efc.D, efc.fmin, efc.fmax)[1].astype(
+                dtype
+            )
+        else:
+            active = (jar < 0).astype(dtype)
         dj = efc.J * (efc.D * active)[:, None]
         h = data.qM + efc.J.T @ dj
         l = jnp.linalg.cholesky(h)
@@ -458,19 +535,39 @@ def solve(
     ell = _ell_const(plan, model, efc)
 
     if ell is None:
-        # scalar rows only: dispatch through the custom_vmap op so the whole
-        # solve fuses into one Pallas kernel per batch tile on TPU
-        op = _make_scalar_cg_op(plan.iterations, plan.ls_iterations)
-        x, force, qfrc = op(
-            data.qM,
-            data.qLD,
-            efc.J,
-            efc.aref,
-            efc.D,
-            data.qacc_smooth,
-            data.qacc_warmstart,
-            model.opt_tolerance,
-        )
+        if plan.ne or plan.nf:
+            # box-clamped rows (equality / frictionloss): plain jnp path,
+            # vectorizes under the env vmap (no fused kernel — these models
+            # are outside the shipped perf workloads)
+            x, force, qfrc = _scalar_cg_single(
+                plan.iterations,
+                plan.ls_iterations,
+                data.qM,
+                data.qLD,
+                efc.J,
+                efc.aref,
+                efc.D,
+                data.qacc_smooth,
+                data.qacc_warmstart,
+                model.opt_tolerance,
+                fmin=efc.fmin,
+                fmax=efc.fmax,
+            )
+        else:
+            # unilateral scalar rows only: dispatch through the custom_vmap
+            # op so the whole solve fuses into one Pallas kernel per batch
+            # tile on TPU
+            op = _make_scalar_cg_op(plan.iterations, plan.ls_iterations)
+            x, force, qfrc = op(
+                data.qM,
+                data.qLD,
+                efc.J,
+                efc.aref,
+                efc.D,
+                data.qacc_smooth,
+                data.qacc_warmstart,
+                model.opt_tolerance,
+            )
         return data.replace(
             qacc=x,
             qfrc_constraint=qfrc.astype(dtype),
