@@ -260,7 +260,38 @@ def test_friction_force_saturates():
     assert np.max(np.abs(ours - c_force)) / max(1.0, np.max(np.abs(c_force))) < 5e-3
 
 
-def test_site_anchored_connect_rejected():
-    m = mujoco.MjModel.from_xml_string(SITE_CONNECT_XML)
-    with pytest.raises(NotImplementedError, match="site-anchored"):
-        pm.put_model(m)
+SITE_WELD_XML = f"""
+<mujoco>
+  <option {_OPT}/>
+  <worldbody>
+    <body name="a" pos="0 0 1">
+      <joint type="ball" damping="0.05"/>
+      <geom type="capsule" size="0.04" fromto="0 0 0 0.3 0 0" mass="0.5" {_NOCON}/>
+      <site name="s1" pos="0.3 0 0" quat="0.9 0.3 0.1 0.2"/>
+    </body>
+    <body name="c" pos="0.32 0.01 1.02" quat="0.95 0.2 0.2 0.1">
+      <joint type="free"/>
+      <geom type="box" size="0.05 0.05 0.05" mass="0.3" {_NOCON}/>
+      <site name="s2" pos="0.01 0 0.02" quat="0.8 0.4 0.3 0.1"/>
+    </body>
+  </worldbody>
+  <equality>
+    <weld site1="s1" site2="s2" torquescale="0.6"/>
+  </equality>
+</mujoco>
+"""
+
+
+@pytest.mark.parametrize(
+    "name,xml",
+    [("site_connect", SITE_CONNECT_XML), ("site_weld", SITE_WELD_XML)],
+)
+def test_site_anchored_parity(name, xml):
+    """Site-anchored connect/weld: anchors and (for weld) the rest rotation
+    come from the site frames, eq_data is ignored (C's mjOBJ_SITE branch)."""
+    m, d = _c_state(xml)
+    plan, efc, converged = _run_ours(m, d)
+    _assert_rows(plan, efc, m, d)
+    qscale = max(1.0, float(np.max(np.abs(d.qacc))))
+    qacc_err = float(np.max(np.abs(np.asarray(converged.qacc) - d.qacc)))
+    assert qacc_err / qscale < 5e-3, f"qacc rel err {qacc_err / qscale:.3e}"

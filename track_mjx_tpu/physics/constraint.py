@@ -179,10 +179,18 @@ def _connect_weld_blocks(plan: PhysicsPlan, model: Model, data: Data):
     dtype = data.qpos.dtype
     blocks = []
 
-    for e, b1, b2 in plan.eq_connect:
-        anchor1, anchor2 = model.eq_data[e, 0:3], model.eq_data[e, 3:6]
-        p1 = data.xpos[b1] + data.xmat[b1] @ anchor1
-        p2 = data.xpos[b2] + data.xmat[b2] @ anchor2
+    def _anchor(o, is_site, eq_anchor):
+        """(body, world point) of one connect/weld end. Body mode: eq_data
+        anchor in the body frame; site mode: the site's world position
+        (eq_data ignored, as C does)."""
+        if is_site:
+            b = int(plan.site_bodyid[o])
+            return b, data.site_xpos[o]
+        return o, data.xpos[o] + data.xmat[o] @ eq_anchor
+
+    for e, o1, o2, is_site in plan.eq_connect:
+        b1, p1 = _anchor(o1, is_site, model.eq_data[e, 0:3])
+        b2, p2 = _anchor(o2, is_site, model.eq_data[e, 3:6])
         jacp1, _ = _body_point_jac(plan, data, b1, p1)
         jacp2, _ = _body_point_jac(plan, data, b2, p2)
         J = (jacp1 - jacp2).T  # (3, nv)
@@ -190,20 +198,25 @@ def _connect_weld_blocks(plan: PhysicsPlan, model: Model, data: Data):
         iw_t = model.body_invweight0[b1, 0] + model.body_invweight0[b2, 0]
         blocks.append((e, J, pos, jnp.stack([iw_t] * 3)))
 
-    for e, b1, b2 in plan.eq_weld:
-        anchor2, anchor1 = model.eq_data[e, 0:3], model.eq_data[e, 3:6]
-        relq = model.eq_data[e, 6:10]
+    for e, o1, o2, is_site in plan.eq_weld:
         ts = model.eq_data[e, 10]
-        p1 = data.xpos[b1] + data.xmat[b1] @ anchor1
-        p2 = data.xpos[b2] + data.xmat[b2] @ anchor2
+        b1, p1 = _anchor(o1, is_site, model.eq_data[e, 3:6])
+        b2, p2 = _anchor(o2, is_site, model.eq_data[e, 0:3])
         jacp1, jacr1 = _body_point_jac(plan, data, b1, p1)
         jacp2, jacr2 = _body_point_jac(plan, data, b2, p2)
         Jp = (jacp1 - jacp2).T
         pos_p = p1 - p2
         # rotation residual ts * vec(conj(q2) * q1 * relq); jacobian
-        # 0.5 * ts * A (jacr1 - jacr2) with A e_i = vec(conj(q2) e_i q1r)
-        q1, q2 = data.xquat[b1], data.xquat[b2]
-        q1r = quat_ops.mul(q1, relq)
+        # 0.5 * ts * A (jacr1 - jacr2) with A e_i = vec(conj(q2) e_i q1r).
+        # Site mode: q are the site frames (body quat * local site quat),
+        # relpose is identity (C derives the rest pose from the site frames).
+        if is_site:
+            q1 = quat_ops.mul(data.xquat[b1], model.site_quat[o1])
+            q2 = quat_ops.mul(data.xquat[b2], model.site_quat[o2])
+            q1r = q1
+        else:
+            q1, q2 = data.xquat[o1], data.xquat[o2]
+            q1r = quat_ops.mul(q1, model.eq_data[e, 6:10])
         q2inv = quat_ops.inv(q2)
         pos_r = ts * quat_ops.mul(q2inv, q1r)[1:]
         basis = jnp.eye(4, dtype=dtype)[1:]  # pure-vector unit quats

@@ -133,21 +133,22 @@ def _advance_act(plan: PhysicsPlan, model: Model, data: Data, dt) -> jax.Array:
 
 INT_EULER = 0
 INT_RK4 = 1
+INT_IMPLICIT = 2
+INT_IMPLICITFAST = 3
 
 
 def euler(plan: PhysicsPlan, model: Model, data: Data) -> Data:
     """Semi-implicit Euler with implicit joint damping (mj_Euler parity).
 
-    Raises at trace time for any other integrator (RK4 has its own entry
-    point, dispatched by `step`): all reference workloads compile to Euler,
-    and kinematic-only models (e.g. the stick ghost walker, whose XML
-    requests RK4 but is never stepped) pack fine and only fail if actually
-    integrated."""
+    Raises at trace time if called with a non-Euler plan (RK4 and
+    implicit/implicitfast have their own entry points, dispatched by
+    `step`): all reference workloads compile to Euler, and kinematic-only
+    models (e.g. the stick ghost walker, whose XML requests RK4 but is never
+    stepped) pack fine and only fail if actually integrated."""
     if plan.integrator != INT_EULER:
         raise NotImplementedError(
-            f"integrator {plan.integrator} not supported by euler(): Euler "
-            "and RK4 (via step()) are implemented (all reference workloads "
-            "compile to Euler)"
+            f"integrator {plan.integrator} not supported by euler(): use "
+            "step(), which dispatches Euler/RK4/implicit/implicitfast"
         )
     with jax.default_matmul_precision("highest"):
         return _euler_impl(plan, model, data)
@@ -236,11 +237,99 @@ def rk4(plan: PhysicsPlan, model: Model, data: Data) -> Data:
     )
 
 
+def _qderiv(
+    plan: PhysicsPlan, model: Model, data: Data, include_rne: bool
+) -> jax.Array:
+    """d(qfrc_passive + qfrc_actuator [- qfrc_bias]) / d qvel, (nv, nv).
+
+    The velocity derivative of the smooth force at fixed pose — C's
+    mjd_smooth_vel (engine_derivative.c), which hand-derives the damping,
+    fluid-drag, actuator gain/bias, and (for implicit only) RNE terms.
+    Here it is exact forward-mode autodiff through the same velocity-stage
+    functions the forward pass runs, so every velocity dependence the engine
+    actually has is captured, including the inertia-box fluid model.
+
+    One deliberate C quirk is reproduced: C stores qDeriv in the mass
+    matrix's ancestor-pair sparsity, so derivative entries coupling dofs on
+    different kinematic branches (possible only through tendon damping or
+    multi-joint actuator transmissions) are silently dropped. The autodiff
+    matrix is masked to the same pattern — verified against mj_step on a
+    probe with a cross-branch damped tendon (tests/test_integrators.py)."""
+
+    def f(qvel):
+        d = data.replace(qvel=qvel)
+        d = _com.com_vel(plan, model, d)
+        d = _passive.passive(plan, model, d)
+        d = _actuation.actuation(plan, model, d)
+        out = d.qfrc_passive + d.qfrc_actuator
+        if include_rne:
+            d = _rne.rne(plan, model, d)
+            out = out - d.qfrc_bias
+        return out
+
+    return jax.jacfwd(f)(data.qvel) * jnp.asarray(
+        _ancestor_pair_mask(plan), data.qpos.dtype
+    )
+
+
+def _ancestor_pair_mask(plan: PhysicsPlan) -> np.ndarray:
+    """(nv, nv) 0/1 mask of dof pairs on a common kinematic chain (the mass
+    matrix's sparsity pattern; trace-time constant)."""
+    nv = plan.nv
+    mask = np.eye(nv)
+    for j in range(nv):
+        i = int(plan.dof_parentid[j])
+        while i >= 0:
+            mask[i, j] = mask[j, i] = 1.0
+            i = int(plan.dof_parentid[i])
+    return mask
+
+
+def implicit(plan: PhysicsPlan, model: Model, data: Data) -> Data:
+    """Implicit-in-velocity integration (mj_implicit parity).
+
+    implicitfast (mjINT_IMPLICITFAST): qDeriv skips the RNE term and is
+    symmetrized, so (M - h*qDeriv) admits a Cholesky solve — C's documented
+    construction. implicit (mjINT_IMPLICIT): full qDeriv including the
+    Coriolis/centrifugal derivative, general LU solve. Both then advance
+    exactly like Euler (act integration, velocity update from the raw
+    qfrc_smooth + qfrc_constraint force, manifold position integration).
+    Joint damping enters through qDeriv, not an extra eulerdamp term."""
+    from track_mjx_tpu.ops import batched_linalg
+
+    dt = model.opt_timestep
+    with jax.default_matmul_precision("highest"):
+        fast = plan.integrator == INT_IMPLICITFAST
+        qderiv = _qderiv(plan, model, data, include_rne=not fast)
+        rhs = data.qfrc_smooth + data.qfrc_constraint
+        if fast:
+            qderiv = 0.5 * (qderiv + qderiv.T)
+            mh = data.qM - dt * qderiv
+            qacc_eff = batched_linalg.cho_solve(
+                batched_linalg.cholesky(mh), rhs
+            )
+        else:
+            qacc_eff = jnp.linalg.solve(data.qM - dt * qderiv, rhs)
+        act = _advance_act(plan, model, data, dt)
+        qvel = data.qvel + dt * qacc_eff
+        qpos = _integrate_pos(plan, model, data.qpos, qvel, dt)
+    return data.replace(
+        qpos=qpos,
+        qvel=qvel,
+        act=act,
+        time=data.time + dt,
+        qacc_warmstart=data.qacc,
+    )
+
+
 def step(plan: PhysicsPlan, model: Model, data: Data) -> Data:
-    """One physics step: forward dynamics + integration (Euler or RK4)."""
+    """One physics step: forward dynamics + integration (Euler / RK4 /
+    implicit / implicitfast, per the compiled model's opt.integrator)."""
     data = forward(plan, model, data)
     if plan.integrator == INT_RK4:
         return rk4(plan, model, data)
+    if plan.integrator in (INT_IMPLICIT, INT_IMPLICITFAST):
+        return implicit(plan, model, data)
     return euler(plan, model, data)
 
 

@@ -44,7 +44,7 @@ SOLVER_PGS, SOLVER_CG, SOLVER_NEWTON = 0, 1, 2
 INT_EULER, INT_RK4, INT_IMPLICIT, INT_IMPLICITFAST = 0, 1, 2, 3
 CONE_PYRAMIDAL, CONE_ELLIPTIC = 0, 1
 EQ_CONNECT, EQ_WELD, EQ_JOINT, EQ_TENDON = 0, 1, 2, 3
-OBJ_BODY = 1  # mjOBJ_BODY (connect/weld site-anchored variants unsupported)
+OBJ_BODY, OBJ_SITE = 1, 6  # mjOBJ_BODY / mjOBJ_SITE (connect/weld anchoring)
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -72,8 +72,8 @@ class PhysicsPlan:
     # equality constraints (static structure; mj_instantiateEquality parity).
     # Each entry: (eq_id, obj1, obj2). Only eq_active0 constraints are packed —
     # runtime eq_active toggling is not supported (loudly documented).
-    eq_connect: tuple  # ((eq_id, body1, body2), ...)
-    eq_weld: tuple  # ((eq_id, body1, body2), ...)
+    eq_connect: tuple  # ((eq_id, obj1, obj2, is_site), ...)
+    eq_weld: tuple  # ((eq_id, obj1, obj2, is_site), ...)
     eq_joint: tuple  # ((eq_id, jnt1, jnt2), ...); jnt2 = -1 for constant
     eq_tendon: tuple  # ((eq_id, ten1, ten2), ...); ten2 = -1 for constant
     friction_dof_ids: np.ndarray  # dofs with frictionloss > 0
@@ -126,6 +126,7 @@ class PhysicsPlan:
     ls_iterations: int
     disableflags: int
     fluid_active: bool  # density/viscosity/wind nonzero -> inertia-box model
+    tendon_passive_active: bool  # any tendon stiffness/damping nonzero
 
     def __hash__(self):
         return id(self)
@@ -195,6 +196,9 @@ class Model:
     tendon_frictionloss: jax.Array  # (ntendon,)
     tendon_solref_fri: jax.Array  # (ntendon, 2)
     tendon_solimp_fri: jax.Array  # (ntendon, 5)
+    tendon_stiffness: jax.Array  # (ntendon,)
+    tendon_damping: jax.Array  # (ntendon,)
+    tendon_lengthspring: jax.Array  # (ntendon, 2) deadband [lower, upper]
     # actuators
     actuator_gear0: jax.Array  # (nu,)
     actuator_len_mat: jax.Array  # (nu, nq): length = len_mat @ qpos + len_const
@@ -410,11 +414,14 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> tuple[PhysicsPlan, Model]
         ty = int(m.eq_type[e])
         o1, o2 = int(m.eq_obj1id[e]), int(m.eq_obj2id[e])
         if ty in (EQ_CONNECT, EQ_WELD):
-            if int(m.eq_objtype[e]) != OBJ_BODY:
+            objtype = int(m.eq_objtype[e])
+            if objtype not in (OBJ_BODY, OBJ_SITE):
                 raise NotImplementedError(
-                    "site-anchored connect/weld equality not supported"
+                    f"connect/weld equality objtype {objtype} not supported"
                 )
-            (eq_connect if ty == EQ_CONNECT else eq_weld).append((e, o1, o2))
+            (eq_connect if ty == EQ_CONNECT else eq_weld).append(
+                (e, o1, o2, objtype == OBJ_SITE)
+            )
         elif ty == EQ_JOINT:
             if m.jnt_type[o1] not in (JNT_HINGE, JNT_SLIDE) or (
                 o2 >= 0 and m.jnt_type[o2] not in (JNT_HINGE, JNT_SLIDE)
@@ -551,6 +558,10 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> tuple[PhysicsPlan, Model]
             or m.opt.viscosity > 0
             or np.abs(m.opt.wind).any()
         ),
+        tendon_passive_active=bool(
+            m.ntendon
+            and ((m.tendon_stiffness != 0).any() or (m.tendon_damping != 0).any())
+        ),
     )
 
     a = lambda x: jnp.asarray(x, dtype=dtype)
@@ -609,6 +620,13 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> tuple[PhysicsPlan, Model]
         tendon_frictionloss=a(m.tendon_frictionloss),
         tendon_solref_fri=a(m.tendon_solref_fri),
         tendon_solimp_fri=a(m.tendon_solimp_fri),
+        tendon_stiffness=a(m.tendon_stiffness),
+        tendon_damping=a(m.tendon_damping),
+        tendon_lengthspring=a(
+            m.tendon_lengthspring.reshape(m.ntendon, 2)
+            if m.ntendon
+            else np.zeros((0, 2))
+        ),
         actuator_gear0=a(gear0),
         actuator_len_mat=a(act_len_mat),
         actuator_len_const=a(act_len_const),

@@ -167,6 +167,26 @@ def passive(plan: PhysicsPlan, model: Model, data: Data) -> Data:
         qfrc_spring = qfrc_spring.at[dadr : dadr + 3].set(-stiff * rot)
 
     qfrc_damper = -model.dof_damping * data.qvel
+
+    # fixed-tendon springs (deadband [lower, upper]) and dampers. The tendon
+    # velocity is recomputed from qvel (not read from data.ten_velocity) so
+    # velocity-derivative autodiff (implicit integrators' qDeriv) sees it.
+    if plan.tendon_passive_active:
+        length = (
+            model.tendon_length_mat @ data.qpos + model.tendon_length0_const
+        )
+        lo = model.tendon_lengthspring[:, 0]
+        hi = model.tendon_lengthspring[:, 1]
+        disp = jnp.where(
+            length > hi, hi - length, jnp.where(length < lo, lo - length, 0.0)
+        )
+        qfrc_spring = qfrc_spring + model.tendon_moment.T @ (
+            model.tendon_stiffness * disp
+        )
+        qfrc_damper = qfrc_damper - model.tendon_moment.T @ (
+            model.tendon_damping * (model.tendon_moment @ data.qvel)
+        )
+
     qfrc_passive = qfrc_spring + qfrc_damper
     if plan.fluid_active:
         qfrc_passive = qfrc_passive + fluid(plan, model, data)
