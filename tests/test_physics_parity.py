@@ -418,3 +418,86 @@ class TestSensors:
             assert np.abs(mine - ref).max() / scale < 2e-3, (
                 f"sensor {name}: {mine} vs {ref}"
             )
+
+
+CONDIM_XML = """
+<mujoco>
+  <option timestep="0.002" solver="CG" iterations="40" ls_iterations="20"
+          tolerance="0"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="2 2 0.1" contype="1" conaffinity="1"
+          friction="0.8 0.02 0.003"/>
+    <body name="ball6" pos="0 0 0.0995">
+      <freejoint/>
+      <geom type="sphere" size="0.1" mass="0.5" condim="6"
+            friction="0.8 0.02 0.003" contype="1" conaffinity="1"/>
+    </body>
+    <body name="ball4" pos="0.5 0 0.0995">
+      <freejoint/>
+      <geom type="sphere" size="0.1" mass="0.5" condim="4"
+            friction="0.8 0.02 0" contype="1" conaffinity="1"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+
+class TestCondim46:
+    """Torsional/rolling friction (condim 4/6, pyramidal): spinning and
+    rolling spheres on a plane must decelerate exactly as C does. C reference:
+    mj_instantiateContact pyramid rows over all condim-1 friction directions
+    (consumed via mjx by the reference, SURVEY section 2b)."""
+
+    def test_spin_roll_trajectory(self):
+        m = mujoco.MjModel.from_xml_string(CONDIM_XML)
+        plan, model = pm.put_model(m)
+        assert plan.condim == 6
+        d = mujoco.MjData(m)
+        # ball6 spins about the normal (torsional) and rolls (rolling);
+        # ball4 spins (torsional only at condim 4)
+        d.qvel[3:6] = [1.0, 0.0, 6.0]
+        d.qvel[0] = 0.5
+        d.qvel[9:12] = [0.0, 0.0, 8.0]
+        qpos0, qvel0 = d.qpos.copy(), d.qvel.copy()
+        for _ in range(20):
+            mujoco.mj_step(m, d)
+
+        @jax.jit
+        def run(model, qpos, qvel):
+            data = pm.make_data(plan, model)
+            data = data.replace(qpos=qpos, qvel=qvel)
+
+            def body(dd, _):
+                return step(plan, model, dd), None
+
+            data, _ = jax.lax.scan(body, data, None, length=20)
+            return data
+
+        f32 = lambda x: jnp.asarray(x, jnp.float32)
+        data = run(model, f32(qpos0), f32(qvel0))
+        # torsional/rolling forces must have acted: spins decelerate in C
+        assert d.qvel[5] < 5.6 and d.qvel[11] < 7.7
+        _assert_close(data.qvel, d.qvel, rel=5e-3, name="qvel")
+        _assert_close(data.qpos, d.qpos, rel=2e-3, name="qpos")
+
+    def test_cfrc_ext_torsion(self):
+        """cfrc_ext carries the torsional moment for condim>3 contacts."""
+        m = mujoco.MjModel.from_xml_string(CONDIM_XML)
+        plan, model = pm.put_model(m)
+        d = mujoco.MjData(m)
+        d.qvel[3:6] = [0.0, 0.0, 6.0]
+        mujoco.mj_forward(m, d)
+        mujoco.mj_rnePostConstraint(m, d)
+
+        data = pm.make_data(plan, model)
+        data = data.replace(
+            qpos=jnp.asarray(d.qpos, jnp.float32),
+            qvel=jnp.asarray(d.qvel, jnp.float32),
+        )
+        data = forward(plan, model, data)
+        ours = postconstraint.cfrc_ext(plan, model, data)
+        c = d.cfrc_ext
+        scale = max(1.0, np.abs(c).max())
+        np.testing.assert_allclose(
+            np.asarray(ours), c, atol=5e-3 * scale, err_msg="cfrc_ext"
+        )

@@ -452,6 +452,14 @@ def make_constraint(
         jfr = jnp.einsum("cdk,cik->cid", jacp, contact.frame)
         jn = jfr[:, 0]  # normal rows
         jt = jfr[:, 1:]  # (ncon, 2, nv)
+        # rotational rows (torsional/rolling friction, condim 4/6): the
+        # angular jacobian difference projected on the contact frame
+        if plan.condim > 3:
+            jacr = w[None] * diff_mask[:, :, None]  # (ncon, nv, 3)
+            jrot = jnp.einsum("cdk,cik->cid", jacr, contact.frame)
+            jdirs = jnp.concatenate([jt, jrot], axis=1)  # (ncon, 5, nv)
+        else:
+            jdirs = jt
 
         pos = contact.dist - contact.includemargin
         active = contact.dist < contact.includemargin
@@ -507,34 +515,49 @@ def make_constraint(
             )
             ell_mu = mu1
         elif len(cd3):
-            # pyramid rows: jn +/- mu_i * jt_i for i in (0, 1)
-            mu = contact.friction[cd3, :2]  # (n3, 2) tangential
-            jn3, jt3 = jn[cd3], jt[cd3]
-            pyr = []
-            for i in range(2):
-                pyr.append(jn3 + mu[:, i : i + 1] * jt3[:, i])
-                pyr.append(jn3 - mu[:, i : i + 1] * jt3[:, i])
-            J = jnp.stack(pyr, axis=1)  # (n3, 4, nv)
-            J = jnp.where(active[cd3, None, None], J, 0.0)
-            jv = jnp.einsum("crv,v->cr", J, data.qvel)
-            aref = -b[cd3, None] * jv - (k[cd3] * imp[cd3] * pos[cd3])[:, None]
-            aref = jnp.where(active[cd3, None], aref, 0.0)
-            mu2 = jnp.repeat(mu, 2, axis=1)  # (n3, 4) row-wise mu
-            invweight_pyr = invweight_n[cd3, None] * (
-                1.0 + mu2**2
-            ) * 2.0 * mu2**2 / model.opt_impratio
-            imp3 = imp[cd3, None]
-            D = imp3 / jnp.maximum((1.0 - imp3) * invweight_pyr, 1e-12)
-            nrows = len(cd3) * 4
-            push(
-                J.reshape(nrows, nv),
-                aref.reshape(nrows),
-                D.reshape(nrows),
-                jnp.repeat(pos[cd3], 4),
-                jnp.repeat(active[cd3], 4),
-                0.0,
-                BIG_FORCE,
-            )
+            # pyramid rows: jn +/- mu_i * jdir_i, 2*(condim-1) rows per
+            # contact. Friction dims beyond the two tangentials are the
+            # rotational (torsional/rolling) directions for condim 4/6;
+            # contacts are grouped by condim at trace time so each group
+            # emits a uniform row block.
+            for cdim in sorted(set(int(c) for c in plan.contact_condim[cd3])):
+                grp = cd3[plan.contact_condim[cd3] == cdim]
+                nfr = cdim - 1  # friction directions
+                mu = contact.friction[grp, :nfr]  # (ng, nfr)
+                jng, jdg = jn[grp], jdirs[grp]
+                pyr = []
+                for i in range(nfr):
+                    pyr.append(jng + mu[:, i : i + 1] * jdg[:, i])
+                    pyr.append(jng - mu[:, i : i + 1] * jdg[:, i])
+                J = jnp.stack(pyr, axis=1)  # (ng, 2*nfr, nv)
+                J = jnp.where(active[grp, None, None], J, 0.0)
+                jv = jnp.einsum("crv,v->cr", J, data.qvel)
+                aref = (
+                    -b[grp, None] * jv - (k[grp] * imp[grp] * pos[grp])[:, None]
+                )
+                aref = jnp.where(active[grp, None], aref, 0.0)
+                # C regularizes every pyramid row with the FIRST friction
+                # coefficient (mj_instantiateContact uses friction[0] for
+                # all 2*(condim-1) rows); per-dim mu appears only in J
+                mu0 = mu[:, 0:1]  # (ng, 1)
+                invweight_pyr = invweight_n[grp, None] * (
+                    1.0 + mu0**2
+                ) * 2.0 * mu0**2 / model.opt_impratio
+                impg = imp[grp, None]
+                D = jnp.broadcast_to(
+                    impg / jnp.maximum((1.0 - impg) * invweight_pyr, 1e-12),
+                    (len(grp), 2 * nfr),
+                )
+                nrows = len(grp) * 2 * nfr
+                push(
+                    J.reshape(nrows, nv),
+                    aref.reshape(nrows),
+                    D.reshape(nrows),
+                    jnp.repeat(pos[grp], 2 * nfr),
+                    jnp.repeat(active[grp], 2 * nfr),
+                    0.0,
+                    BIG_FORCE,
+                )
 
     if not rows_J:
         return EfcData(

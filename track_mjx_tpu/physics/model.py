@@ -439,8 +439,15 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> tuple[PhysicsPlan, Model]
     )
     nf = len(friction_dof) + len(friction_ten)
     condims = set(int(c) for c in m.geom_condim)
-    if condims - {1, 3}:
-        raise NotImplementedError(f"condim {condims} not supported (need 1 or 3)")
+    if condims - {1, 3, 4, 6}:
+        raise NotImplementedError(
+            f"condim {condims} not supported (need 1, 3, 4, or 6)"
+        )
+    if int(m.opt.cone) == CONE_ELLIPTIC and condims - {1, 3}:
+        raise NotImplementedError(
+            "elliptic cone with condim > 3 (torsional/rolling friction) not "
+            "supported; pyramidal supports condim 4/6"
+        )
     if np.abs(m.geom_fluid).any():
         raise NotImplementedError(
             "per-geom ellipsoid fluid model (fluidshape) not supported; only "

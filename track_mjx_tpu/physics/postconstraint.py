@@ -52,34 +52,50 @@ def cfrc_ext(plan: PhysicsPlan, model: Model, data: Data) -> jax.Array:
     active = data.contact_dist < includemargin
 
     # efc row layout (constraint.make_constraint): [equality, frictionloss,
-    # joint limits, condim-1 normal rows, condim-3 blocks (4 pyramid rows /
-    # 3 elliptic rows each)].
+    # joint limits, condim-1 normal rows, then condim>=3 contacts grouped by
+    # condim in ascending order (2*(condim-1) pyramid rows / 3 elliptic rows
+    # per contact)].
     n_lim = plan.ne + plan.nf + len(plan.limited_jnt_ids)
     cd1 = np.nonzero(plan.contact_condim == 1)[0]
     cd3 = np.nonzero(plan.contact_condim >= 3)[0]
-    off3 = n_lim + len(cd1)
+    off = n_lim + len(cd1)
 
-    f_local = jnp.zeros((plan.ncon, 3), dtype)
+    # decoded contact wrench in the contact frame: [fn, ft1, ft2, tn, t1, t2]
+    f_local = jnp.zeros((plan.ncon, 6), dtype)
     if len(cd1):
         f_local = f_local.at[cd1, 0].set(data.efc_force[n_lim + np.arange(len(cd1))])
     if len(cd3):
         if plan.cone == CONE_ELLIPTIC:
-            blocks = data.efc_force[off3 : off3 + 3 * len(cd3)].reshape(len(cd3), 3)
-            f_local = f_local.at[cd3].set(blocks)
+            blocks = data.efc_force[off : off + 3 * len(cd3)].reshape(len(cd3), 3)
+            f_local = f_local.at[cd3, :3].set(blocks)
         else:
-            pyr = data.efc_force[off3 : off3 + 4 * len(cd3)].reshape(len(cd3), 4)
-            mu = friction[cd3, :2]
-            f_local = f_local.at[cd3, 0].set(pyr.sum(axis=1))
-            f_local = f_local.at[cd3, 1:].set((pyr[:, 0::2] - pyr[:, 1::2]) * mu)
+            for cdim in sorted(set(int(c) for c in plan.contact_condim[cd3])):
+                grp = cd3[plan.contact_condim[cd3] == cdim]
+                nfr = cdim - 1
+                nrows = 2 * nfr
+                pyr = data.efc_force[off : off + nrows * len(grp)].reshape(
+                    len(grp), nrows
+                )
+                off += nrows * len(grp)
+                mu = friction[grp, :nfr]
+                # mju_decodePyramid: fn = sum of pyramid forces,
+                # f_i = (pyr_{2i} - pyr_{2i+1}) * mu_i
+                f_local = f_local.at[grp, 0].set(pyr.sum(axis=1))
+                f_local = f_local.at[grp, 1 : 1 + nfr].set(
+                    (pyr[:, 0::2] - pyr[:, 1::2]) * mu
+                )
     f_local = jnp.where(active[:, None], f_local, 0.0)
 
-    # world-frame force; contact frames carry rows = [normal, tan1, tan2]
-    f_world = jnp.einsum("ci,cij->cj", f_local, data.contact_frame)
+    # world-frame force/torque; contact frames carry rows = [normal, tan1,
+    # tan2]; components 3: are torsional/rolling moments (condim 4/6)
+    f_world = jnp.einsum("ci,cij->cj", f_local[:, :3], data.contact_frame)
+    t_world = jnp.einsum("ci,cij->cj", f_local[:, 3:], data.contact_frame)
 
     com1 = data.subtree_com[plan.body_rootid[body1]]
     com2 = data.subtree_com[plan.body_rootid[body2]]
-    trq2 = jnp.cross(data.contact_pos - com2, f_world)
-    trq1 = jnp.cross(data.contact_pos - com1, f_world)
+    trq2 = jnp.cross(data.contact_pos - com2, f_world) + t_world
+    trq1 = jnp.cross(data.contact_pos - com1, f_world) + t_world
     out = out.at[body2].add(jnp.concatenate([trq2, f_world], axis=1))
     out = out.at[body1].add(-jnp.concatenate([trq1, f_world], axis=1))
-    return out
+    # C never accumulates into the world body (mj_rnePostConstraint skips it)
+    return out.at[0].set(0.0)
