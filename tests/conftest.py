@@ -28,14 +28,23 @@ assert len(_jax.devices()) == 8, "tests expect the 8-device virtual CPU mesh"
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
-# trainer / end-to-end modules: whole-module `slow` marker so the fast tier
-# (`pytest -m "not slow"`) stays interactive (~2 min); the full suite runs
-# both tiers. Split per VERDICT round 1 ("What's weak" item 5).
+# Three tiers (VERDICT round 1, "What's weak" item 5):
+#   quick  : -m "not slow and not oracle"   (~3 min — unit/env/agent logic)
+#   oracle : -m oracle                      (MuJoCo-C physics comparisons;
+#                                            each test jit-compiles a full
+#                                            forward variant, minutes on CPU)
+#   slow   : -m slow                        (trainer / end-to-end, minutes)
 _SLOW_MODULES = {
     "test_train",
     "test_transfer",
     "test_entrypoint",
     "test_analysis",
+}
+_ORACLE_MODULES = {
+    "test_physics_parity",
+    "test_equality",
+    "test_integrators",
+    "test_fly",
 }
 
 
@@ -43,6 +52,8 @@ def pytest_collection_modifyitems(items):
     for item in items:
         if item.module.__name__ in _SLOW_MODULES:
             item.add_marker(pytest.mark.slow)
+        if item.module.__name__ in _ORACLE_MODULES:
+            item.add_marker(pytest.mark.oracle)
 
 
 @pytest.fixture(scope="session")

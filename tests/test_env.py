@@ -62,11 +62,10 @@ class TestReset:
         assert err.max() <= toy_env._reset_noise_scale + 1e-6
 
     def test_multiclip_start_frame_range(self, toy_env):
-        starts, clips = [], []
-        for seed in range(16):
-            s = jax.jit(toy_env.reset)(jax.random.PRNGKey(seed))
-            starts.append(int(s.info["start_frame"]))
-            clips.append(int(s.info["clip_idx"]))
+        keys = jax.vmap(jax.random.PRNGKey)(jp.arange(16))
+        batched = jax.jit(jax.vmap(toy_env.reset))(keys)
+        starts = [int(x) for x in batched.info["start_frame"]]
+        clips = [int(x) for x in batched.info["clip_idx"]]
         # reference hard-codes randint(0, 44) (multi_clip_tracking.py:87)
         assert min(starts) >= 0 and max(starts) < 44
         assert set(clips) <= set(range(toy_env._n_clips))
