@@ -98,29 +98,41 @@ def inertia_in_com_frame(
     d = xipos - com using the parallel axis theorem, h = m*d, layout
     [Ixx Iyy Izz Ixy Ixz Iyz, h, m].
 
+    TPU note: written entirely in elementwise mul/add (no 3x3 dot_general).
+    This function is vmapped over (env x body) — hundreds of thousands of
+    3x3 matmul chains per substep lower to MXU dot_generals padded from 3 to
+    full tiles (and 6 passes each under matmul precision "highest"); the
+    explicit row-dot form runs on the VPU at full f32 precision instead.
+
     Reference behavior consumed via mujoco-mjx (SURVEY.md section 2b).
     """
     r = ximat
-    i_world = r @ jnp.diag(body_inertia) @ r.T
+    # I_world_ij = sum_k I_k R_ik R_jk: row-dot products of R scaled by I
+    ri = r * body_inertia[None, :]  # column k scaled by I_k
+    i00 = jnp.sum(ri[0] * r[0])
+    i11 = jnp.sum(ri[1] * r[1])
+    i22 = jnp.sum(ri[2] * r[2])
+    i01 = jnp.sum(ri[0] * r[1])
+    i02 = jnp.sum(ri[0] * r[2])
+    i12 = jnp.sum(ri[1] * r[2])
     d = xipos - com
-    dd = jnp.dot(d, d)
+    dd = jnp.sum(d * d)
     # parallel axis: I += m*(d.d*E - d d^T)
-    i_off = body_mass * (dd * jnp.eye(3, dtype=d.dtype) - jnp.outer(d, d))
-    i_tot = i_world + i_off
-    h = body_mass * d
+    m = body_mass
+    h = m * d
     return jnp.concatenate(
         [
             jnp.stack(
                 [
-                    i_tot[0, 0],
-                    i_tot[1, 1],
-                    i_tot[2, 2],
-                    i_tot[0, 1],
-                    i_tot[0, 2],
-                    i_tot[1, 2],
+                    i00 + m * (dd - d[0] * d[0]),
+                    i11 + m * (dd - d[1] * d[1]),
+                    i22 + m * (dd - d[2] * d[2]),
+                    i01 - m * d[0] * d[1],
+                    i02 - m * d[0] * d[2],
+                    i12 - m * d[1] * d[2],
                 ]
             ),
             h,
-            body_mass[None],
+            m[None],
         ]
     )

@@ -46,6 +46,22 @@ from track_mjx_tpu.physics.model import (
 BIG_FORCE = 1e30
 
 
+def _mv(j: jax.Array, v: jax.Array) -> jax.Array:
+    """Row-wise J . v as an elementwise multiply-reduce over the last axis.
+
+    TPU: this function runs per-env under the batch vmap, where a per-env
+    matvec lowers to a batched GEMV — MXU tiles padded from a handful of
+    rows to full 128-lane tiles (and 6 passes each under matmul precision
+    "highest"). The broadcast-multiply + sum form fuses on the VPU at full
+    f32 precision instead. Works for (nv,), (rows, nv) and (c, r, nv) J."""
+    return jnp.sum(j * v, axis=-1)
+
+
+def _frame_project(jac: jax.Array, frame: jax.Array) -> jax.Array:
+    """einsum("cdk,cik->cid") as broadcast multiply-reduce (see _mv)."""
+    return jnp.sum(jac[:, None, :, :] * frame[:, :, None, :], axis=-1)
+
+
 @struct.dataclass
 class EfcData:
     """Dense constraint rows (nefc static).
@@ -282,7 +298,7 @@ def _equality_rows(plan: PhysicsPlan, model: Model, data: Data):
         for e, J, pos, iw in cw_blocks:
             nrow = J.shape[0]
             k, b, imp = kbi_norm(e, pos)
-            vel = J @ data.qvel
+            vel = _mv(J, data.qvel)
             jdot = jdot_qvel[row0 : row0 + nrow]
             row0 += nrow
             aref = -b * vel - k * imp * pos - jdot
@@ -304,7 +320,7 @@ def _equality_rows(plan: PhysicsPlan, model: Model, data: Data):
             pos = pos1 - model.eq_data[e, 0]
             invweight = model.dof_invweight0[d1]
         k, b, imp = kbi_norm(e, pos)
-        aref = -b * (J @ data.qvel) - k * imp * pos
+        aref = -b * _mv(J, data.qvel) - k * imp * pos
         D = imp / jnp.maximum((1.0 - imp) * invweight, 1e-12)
         out.append((e, J[None], aref[None], D[None], pos[None]))
 
@@ -325,7 +341,7 @@ def _equality_rows(plan: PhysicsPlan, model: Model, data: Data):
                 pos = pos1 - model.eq_data[e, 0]
                 invweight = model.tendon_invweight0[t1]
             k, b, imp = kbi_norm(e, pos)
-            aref = -b * (J @ data.qvel) - k * imp * pos
+            aref = -b * _mv(J, data.qvel) - k * imp * pos
             D = imp / jnp.maximum((1.0 - imp) * invweight, 1e-12)
             out.append((e, J[None], aref[None], D[None], pos[None]))
 
@@ -361,7 +377,7 @@ def _friction_rows(plan: PhysicsPlan, model: Model, data: Data):
             model.tendon_solimp_fri[tids],
             zero,
         )
-        aref = -b * (J @ data.qvel)
+        aref = -b * _mv(J, data.qvel)
         D = imp / jnp.maximum(
             (1.0 - imp) * model.tendon_invweight0[tids], 1e-12
         )
@@ -427,7 +443,7 @@ def make_constraint(
         J = jnp.where(active[:, None], J, 0.0)
 
         k, b, imp = _kbi(model, model.jnt_solref[jids], model.jnt_solimp[jids], pos)
-        jv = J @ data.qvel
+        jv = _mv(J, data.qvel)
         aref = -b * jv - k * imp * pos
         invweight = model.dof_invweight0[dadr]
         D = imp / jnp.maximum((1.0 - imp) * invweight, 1e-12)
@@ -449,14 +465,14 @@ def make_constraint(
         jacp = jacp * diff_mask[:, :, None]
 
         # project on frame directions: (ncon, 3, nv)
-        jfr = jnp.einsum("cdk,cik->cid", jacp, contact.frame)
+        jfr = _frame_project(jacp, contact.frame)
         jn = jfr[:, 0]  # normal rows
         jt = jfr[:, 1:]  # (ncon, 2, nv)
         # rotational rows (torsional/rolling friction, condim 4/6): the
         # angular jacobian difference projected on the contact frame
         if plan.condim > 3:
             jacr = w[None] * diff_mask[:, :, None]  # (ncon, nv, 3)
-            jrot = jnp.einsum("cdk,cik->cid", jacr, contact.frame)
+            jrot = _frame_project(jacr, contact.frame)
             jdirs = jnp.concatenate([jt, jrot], axis=1)  # (ncon, 5, nv)
         else:
             jdirs = jt
@@ -475,7 +491,7 @@ def make_constraint(
 
         if len(cd1):
             J = jnp.where(active[cd1, None], jn[cd1], 0.0)
-            jv = J @ data.qvel
+            jv = _mv(J, data.qvel)
             aref = jnp.where(active[cd1], -b[cd1] * jv - k[cd1] * imp[cd1] * pos[cd1], 0.0)
             D = imp[cd1] / jnp.maximum(
                 (1.0 - imp[cd1]) * invweight_n[cd1], 1e-12
@@ -488,7 +504,7 @@ def make_constraint(
             jn3, jt3 = jn[cd3], jt[cd3]
             J = jnp.concatenate([jn3[:, None], jt3], axis=1)  # (n3, 3, nv)
             J = jnp.where(active[cd3, None, None], J, 0.0)
-            jv = jnp.einsum("crv,v->cr", J, data.qvel)
+            jv = _mv(J, data.qvel)
             aref = -b[cd3, None] * jv
             # normal row gets the position feedback term; friction rows don't
             aref = aref.at[:, 0].add(-k[cd3] * imp[cd3] * pos[cd3])
@@ -531,7 +547,7 @@ def make_constraint(
                     pyr.append(jng - mu[:, i : i + 1] * jdg[:, i])
                 J = jnp.stack(pyr, axis=1)  # (ng, 2*nfr, nv)
                 J = jnp.where(active[grp, None, None], J, 0.0)
-                jv = jnp.einsum("crv,v->cr", J, data.qvel)
+                jv = _mv(J, data.qvel)
                 aref = (
                     -b[grp, None] * jv - (k[grp] * imp[grp] * pos[grp])[:, None]
                 )
