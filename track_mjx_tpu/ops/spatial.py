@@ -70,9 +70,10 @@ def transform_motion(vec: jax.Array, offset: jax.Array, rotnew2old: jax.Array) -
     # translate: linear picks up w x offset... MuJoCo: newlin = lin - offset x w
     new_l = l - jnp.cross(offset, w)
     new_w = w
-    # rotate into new frame
-    new_w = rotnew2old.T @ new_w
-    new_l = rotnew2old.T @ new_l
+    # rotate into new frame; R^T v written as multiply-reduce so the
+    # (env x body)-vmapped call stays on the VPU (see inertia_in_com_frame)
+    new_w = jnp.sum(rotnew2old * new_w[:, None], axis=0)
+    new_l = jnp.sum(rotnew2old * new_l[:, None], axis=0)
     return jnp.concatenate([new_w, new_l])
 
 

@@ -137,11 +137,11 @@ def collide(plan: PhysicsPlan, model: Model, data: Data) -> tuple[Data, Contact]
             con = [(d1, p1_, n, frame_cap), (d2, p2_, n, frame_cap)]
         elif (t1, t2) == (GEOM_PLANE, GEOM_ELLIPSOID):
             n = m1[:, :, 2]
-            n_local = jnp.einsum("ikj,ik->ij", m2, n)  # R2^T n
+            n_local = jnp.sum(m2 * n[:, :, None], axis=1)  # R2^T n
             sn = sz2 * n_local
             s = jnp.maximum(jnp.linalg.norm(sn, axis=1), 1e-12)
             support_local = -(sz2 * sn) / s[:, None]
-            sp = x2 + jnp.einsum("ijk,ik->ij", m2, support_local)
+            sp = x2 + jnp.sum(m2 * support_local[:, None, :], axis=2)
             d_ = jnp.einsum("ij,ij->i", n, sp - x1)
             p_ = sp - 0.5 * d_[:, None] * n
             con = [(d_, p_, n)]
@@ -153,8 +153,12 @@ def collide(plan: PhysicsPlan, model: Model, data: Data) -> tuple[Data, Contact]
             )  # (8, 3)
             corner_l = corners[None] * np.ones((npair, 1, 1))
             corner_l = jnp.asarray(corner_l, dtype=dtype) * sz2[:, None, :]
-            corner_w = x2[:, None, :] + jnp.einsum("ijk,ick->icj", m2, corner_l)
-            hs = jnp.einsum("ij,icj->ic", n, corner_w - x1[:, None, :])  # (npair, 8)
+            corner_w = x2[:, None, :] + jnp.sum(
+                m2[:, None, :, :] * corner_l[:, :, None, :], axis=3
+            )
+            hs = jnp.sum(
+                n[:, None, :] * (corner_w - x1[:, None, :]), axis=2
+            )  # (npair, 8)
             negd, idx = jax.lax.top_k(-hs, 4)
             d4 = -negd  # (npair, 4) smallest distances
             c4 = jnp.take_along_axis(corner_w, idx[:, :, None], axis=1)

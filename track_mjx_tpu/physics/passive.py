@@ -78,11 +78,15 @@ def fluid(plan: PhysicsPlan, model: Model, data: Data) -> jax.Array:
     root_com = data.subtree_com[plan.body_rootid]
     w_world = data.cvel[:, :3]
     v_world = data.cvel[:, 3:] + jnp.cross(w_world, data.xipos - root_com)
-    # local = R^T * world (ximat columns are local axes in world coords)
-    lw = jnp.einsum("bkj,bk->bj", data.ximat, w_world)
-    lv = jnp.einsum("bkj,bk->bj", data.ximat, v_world)
+    # local = R^T * world (ximat columns are local axes in world coords);
+    # multiply-reduce instead of einsum so the per-body 3-contraction stays
+    # on the VPU (see ops.spatial.inertia_in_com_frame)
+    lw = jnp.sum(data.ximat * w_world[:, :, None], axis=1)
+    lv = jnp.sum(data.ximat * v_world[:, :, None], axis=1)
     # subtract wind (a pure linear velocity field)
-    lwind = jnp.einsum("bkj,k->bj", data.ximat, model.opt_wind.astype(dtype))
+    lwind = jnp.sum(
+        data.ximat * model.opt_wind.astype(dtype)[None, :, None], axis=1
+    )
     lv = lv - lwind
 
     lfrc_ang = jnp.zeros_like(lw)
