@@ -258,9 +258,30 @@ class TestDomainRandomization:
 
 
 class TestFusedClipIndexing:
-    """The multi-clip fused flat-row gathers must match the naive
-    clip-then-frame tree indexing exactly (they replace a whole-clip
-    materialization per env per step — see MultiClipTracking)."""
+    """The packed single-gather reference access must match naive
+    clip-then-frame tree indexing exactly on every step-consumed field
+    (it replaces per-field gathers — and, before that, a whole-clip
+    materialization per env per step — see SingleClipTracking._unpack).
+    body_quaternions is reconstructed as zeros (never consumed after io)."""
+
+    PACKED = (
+        "position",
+        "quaternion",
+        "joints",
+        "velocity",
+        "angular_velocity",
+        "joints_velocity",
+        "body_positions",
+    )
+
+    def _assert_matches(self, fused, naive):
+        for name in self.PACKED:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(fused, name)),
+                np.asarray(getattr(naive, name)),
+                err_msg=name,
+            )
+        assert not np.asarray(fused.body_quaternions).any()
 
     def test_reference_frame_matches_naive(self, toy_env):
         clips = toy_env._reference_clips
@@ -272,13 +293,7 @@ class TestFusedClipIndexing:
                 lambda x: x[clip_idx][min(frame, F - 1)] if x.ndim >= 2 else x[clip_idx],
                 clips,
             )
-            jax.tree.map(
-                lambda a, b: np.testing.assert_array_equal(
-                    np.asarray(a), np.asarray(b)
-                ),
-                fused,
-                naive,
-            )
+            self._assert_matches(fused, naive)
 
     def test_reference_trajectory_matches_naive(self, toy_env):
         clips = toy_env._reference_clips
@@ -297,10 +312,18 @@ class TestFusedClipIndexing:
                 else jp.array([]),
                 clips,
             )
-            jax.tree.map(
-                lambda a, b: np.testing.assert_array_equal(
-                    np.asarray(a), np.asarray(b)
-                ),
-                fused,
-                naive,
-            )
+            self._assert_matches(fused, naive)
+
+    def test_step_reference_matches_parts(self, toy_env):
+        """The single fused (1+L)-row gather must equal the separate
+        frame/trajectory accessors."""
+
+        class _D:
+            time = jp.array(0.0)
+
+        info = {"clip_idx": jp.array(1), "start_frame": jp.array(4)}
+        frame, traj = toy_env._get_step_reference(info, _D())
+        want_frame = toy_env._get_reference_frame_at(info, jp.array(4))
+        want_traj = toy_env._get_reference_trajectory(info, _D())
+        self._assert_matches(frame, want_frame)
+        self._assert_matches(traj, want_traj)

@@ -39,6 +39,23 @@ from track_mjx_tpu.physics import model as phys_model
 
 _SOLVER_IDS = {"cg": 1, "newton": 2}
 
+# Clip fields the env step actually consumes (reward + obs + AutoAlign
+# teleport). body_quaternions is loaded/saved by io but never read after
+# construction; original_clip_idx is per-clip metadata. Packing these fields
+# into one (rows, D) matrix lets the WHOLE per-step reference access be a
+# single row gather instead of one gather per field per use site (the
+# previous per-field tree gathers were ~15% of rollout device time at
+# reference scale).
+_PACK_FIELDS = (
+    "position",
+    "quaternion",
+    "joints",
+    "velocity",
+    "angular_velocity",
+    "joints_velocity",
+    "body_positions",
+)
+
 
 class SingleClipTracking(Env):
     """Tracking task for a continuous reference clip."""
@@ -91,6 +108,57 @@ class SingleClipTracking(Env):
         self._clip_length = clip_length
         self._random_init_range = random_init_range
         self._reset_noise_scale = reset_noise_scale
+
+        # single-clip pack; MultiClipTracking passes a (n_clips, frames, ...)
+        # batch through this ctor and builds its own pack over flat rows
+        if reference_clip is not None and reference_clip.position.ndim == 2:
+            self._clip_frames = reference_clip.position.shape[0]
+            self._build_step_pack(reference_clip, n_leading=1)
+
+    # ---- packed reference access ------------------------------------------
+    def _build_step_pack(self, clip: ReferenceClip, n_leading: int) -> None:
+        """Concatenates the step-consumed clip fields into one (rows, D)
+        matrix (rows = frames, or n_clips*frames when ``n_leading == 2``)."""
+        parts = []
+        self._pack_slices = {}
+        off = 0
+        for name in _PACK_FIELDS:
+            arr = jp.asarray(getattr(clip, name))
+            trailing = arr.shape[n_leading:]
+            size = int(np.prod(trailing)) if trailing else 1
+            parts.append(arr.reshape(-1, size))
+            self._pack_slices[name] = (off, off + size, trailing)
+            off += size
+        self._pack = jp.concatenate(parts, axis=1)
+        self._body_quat_shape = tuple(clip.body_quaternions.shape[n_leading:])
+
+    def _unpack(self, packed: jp.ndarray) -> ReferenceClip:
+        """Rebuilds a ReferenceClip view from packed rows of shape (..., D).
+
+        body_quaternions is reconstructed as zeros (it is never consumed
+        after io) and original_clip_idx as None."""
+
+        def field(name: str) -> jp.ndarray:
+            s, e, shp = self._pack_slices[name]
+            v = packed[..., s:e]
+            return v.reshape(v.shape[:-1] + shp)
+
+        return ReferenceClip(
+            position=field("position"),
+            quaternion=field("quaternion"),
+            joints=field("joints"),
+            body_positions=field("body_positions"),
+            velocity=field("velocity"),
+            angular_velocity=field("angular_velocity"),
+            joints_velocity=field("joints_velocity"),
+            body_quaternions=jp.zeros(
+                packed.shape[:-1] + self._body_quat_shape, packed.dtype
+            ),
+        )
+
+    def _clip_row_base(self, info) -> jp.ndarray:
+        """Row offset of this env's clip in the pack (0: single clip)."""
+        return jp.array(0, int)
 
     # ---- sizes -----------------------------------------------------------
     @property
@@ -225,7 +293,7 @@ class SingleClipTracking(Env):
         data = self.pipeline_step(data0, action)
         info = dict(state.info)
 
-        reference_frame = self._get_reference_frame(info, data)
+        reference_frame, ref_traj = self._get_step_reference(info, data)
         info["reference_frame"] = reference_frame
         info["prev_ctrl"] = action
         buffer = info["action_buffer"]
@@ -267,7 +335,7 @@ class SingleClipTracking(Env):
             reward_config=self._reward_config,
         )
 
-        reference_obs, proprioceptive_obs = self._get_obs(data, info)
+        reference_obs, proprioceptive_obs = self._get_obs_from_traj(data, ref_traj)
         obs = jp.concatenate([reference_obs, proprioceptive_obs])
         reward = (
             joint_reward
@@ -377,30 +445,50 @@ class SingleClipTracking(Env):
 
     def _get_reference_frame_at(self, info, frame) -> ReferenceClip:
         """The clip frame at the given index (reward/reset target)."""
-        return jax.tree.map(lambda x: x[frame], self._get_reference_clip(info))
+        row = self._clip_row_base(info) + jp.clip(
+            frame, 0, self._clip_frames - 1
+        )
+        return self._unpack(self._pack[row])
 
     def _get_reference_frame(self, info, data) -> ReferenceClip:
         """The clip frame at the current time (reward target)."""
         return self._get_reference_frame_at(info, self._get_cur_frame(info, data))
 
     def _get_reference_trajectory(self, info, data) -> ReferenceClip:
-        """Slices the clip into the (traj_length,) observation window."""
+        """Slices the clip into the (traj_length,) observation window.
+        Start clamp matches dynamic_slice_in_dim semantics."""
+        start = jp.clip(
+            self._get_cur_frame(info, data) + 1,
+            0,
+            self._clip_frames - self._ref_len,
+        )
+        rows = self._clip_row_base(info) + start + jp.arange(self._ref_len)
+        return self._unpack(self._pack[rows])
 
-        def f(x):
-            if len(x.shape) != 1:
-                return jax.lax.dynamic_slice_in_dim(
-                    x, self._get_cur_frame(info, data) + 1, self._ref_len
-                )
-            return jp.array([])
-
-        return jax.tree.map(f, self._get_reference_clip(info))
+    def _get_step_reference(self, info, data) -> tuple[ReferenceClip, ReferenceClip]:
+        """(current reward frame, observation trajectory window) from ONE
+        fused row gather: row 0 is the clamped current frame, rows 1..L the
+        clamped lookahead window."""
+        cur = self._get_cur_frame(info, data)
+        frame_row = jp.clip(cur, 0, self._clip_frames - 1)
+        start = jp.clip(cur + 1, 0, self._clip_frames - self._ref_len)
+        rows = self._clip_row_base(info) + jp.concatenate(
+            [frame_row[None], start + jp.arange(self._ref_len)]
+        )
+        packed = self._pack[rows]
+        return self._unpack(packed[0]), self._unpack(packed[1:])
 
     def _get_obs(
         self, data: phys_model.Data, info: Dict[str, Any]
     ) -> tuple[jp.ndarray, jp.ndarray]:
         """(reference_obs, proprioceptive_obs) assembly (reference :394-450)."""
-        ref_traj = self._get_reference_trajectory(info, data)
+        return self._get_obs_from_traj(data, self._get_reference_trajectory(info, data))
 
+    def _get_obs_from_traj(
+        self, data: phys_model.Data, ref_traj: ReferenceClip
+    ) -> tuple[jp.ndarray, jp.ndarray]:
+        """Obs assembly from an already-gathered trajectory window (the step
+        path shares one fused gather between reward and obs)."""
         track_pos_local = self.walker.compute_local_track_positions(
             ref_traj.position, data.qpos
         )
@@ -466,15 +554,11 @@ class MultiClipTracking(SingleClipTracking):
             self._reference_clips = reference_clip
             self._n_clips = reference_clip.position.shape[0]
             self._clip_frames = reference_clip.position.shape[1]
-            # (n_clips*frames, ...) view for fused clip+frame row gathers:
-            # tree-indexing x[clip_idx] materializes the WHOLE per-env clip
-            # (batch x frames x dims of gather traffic every control step,
-            # ~30 ms/step at 4096 envs on a v5e) where a single flat-row
-            # gather moves only the frames actually read
-            self._flat_clips = jax.tree.map(
-                lambda x: x.reshape((-1,) + x.shape[2:]) if x.ndim >= 2 else x,
-                reference_clip,
-            )
+            # pack over (n_clips*frames) flat rows: tree-indexing x[clip_idx]
+            # would materialize the WHOLE per-env clip (batch x frames x dims
+            # of gather traffic every control step, ~30 ms/step at 4096 envs
+            # on a v5e) where a flat-row gather moves only the rows read
+            self._build_step_pack(reference_clip, n_leading=2)
         else:
             # pure rendering mode (multi_clip_tracking.py:68-72)
             self._reference_clips = None
@@ -497,30 +581,5 @@ class MultiClipTracking(SingleClipTracking):
     def _get_reference_clip(self, info: Dict[str, jp.ndarray]) -> ReferenceClip:
         return jax.tree.map(lambda x: x[info["clip_idx"]], self._reference_clips)
 
-    def _get_reference_frame_at(self, info, frame) -> ReferenceClip:
-        if self._reference_clips is None:  # pure rendering mode
-            return super()._get_reference_frame_at(info, frame)
-        # fused clip+frame row gather; clamp matches x[frame] gather
-        # semantics on the (frames,...) clip view
-        frame = jp.clip(frame, 0, self._clip_frames - 1)
-        row = info["clip_idx"] * self._clip_frames + frame
-        return jax.tree.map(
-            lambda x: x[row] if x.ndim >= 2 else x[info["clip_idx"]],
-            self._flat_clips,
-        )
-
-    def _get_reference_trajectory(self, info, data) -> ReferenceClip:
-        if self._reference_clips is None:  # pure rendering mode
-            return super()._get_reference_trajectory(info, data)
-        # fused clip+frame slice; start clamp matches dynamic_slice_in_dim
-        # on the (frames,...) clip view
-        start = jp.clip(
-            self._get_cur_frame(info, data) + 1,
-            0,
-            self._clip_frames - self._ref_len,
-        )
-        rows = info["clip_idx"] * self._clip_frames + start + jp.arange(self._ref_len)
-        return jax.tree.map(
-            lambda x: x[rows] if x.ndim >= 2 else jp.array([]),
-            self._flat_clips,
-        )
+    def _clip_row_base(self, info) -> jp.ndarray:
+        return info["clip_idx"] * self._clip_frames
