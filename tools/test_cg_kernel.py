@@ -1,4 +1,8 @@
-"""TPU fused-CG kernel check: numerics vs unfused fallback + timing.
+"""TPU fused smooth+CG kernel check: numerics vs unfused fallback + timing.
+
+The fused op factors qM in-kernel and solves qacc_smooth before the CG
+iterations (see ops/cg_solver_kernel.py); the unfused reference is the
+per-env cholesky -> cho_solve -> CG chain it replaced.
 
 Usage: python tools/test_cg_kernel.py [batch]
 """
@@ -19,7 +23,8 @@ m = mujoco.MjModel.from_xml_path(DEFAULT_ASSET_ROOT + "/rodent/rodent.xml")
 m.opt.solver = 1; m.opt.iterations = 5; m.opt.ls_iterations = 5
 plan, model = pm.put_model(m)
 print("backend", jax.default_backend(), "kernel_available:",
-      ck.kernel_available(plan.nv, plan.nefc), flush=True)
+      ck.kernel_available(plan.nv, plan.nefc),
+      "fused plan:", slv.fused_scalar_cg(plan), flush=True)
 
 rng = np.random.RandomState(0)
 qpos = np.tile(m.qpos0, (batch, 1)); qpos[:, 2] -= 0.01
@@ -40,7 +45,7 @@ def upto_solver(q, v, c):
 
 f32 = lambda x: jnp.asarray(x, jnp.float32)
 data, efc = jax.jit(jax.vmap(upto_solver))(f32(qpos), f32(qvel), f32(ctrl))
-jax.block_until_ready(data.qacc_smooth)
+jax.block_until_ready(data.qfrc_smooth)
 print("pre-solver state ready", flush=True)
 
 op = slv._make_scalar_cg_op(plan.iterations, plan.ls_iterations)
@@ -49,23 +54,23 @@ op = slv._make_scalar_cg_op(plan.iterations, plan.ls_iterations)
 def fused(data, efc):
     with jax.default_matmul_precision("highest"):
         return jax.vmap(
-            lambda qm, qld, J, aref, D, sm, wm: op(qm, qld, J, aref, D, sm, wm, model.opt_tolerance)
-        )(data.qM, data.qLD, efc.J, efc.aref, efc.D, data.qacc_smooth, data.qacc_warmstart)
+            lambda qm, J, aref, D, qf, wm: op(qm, J, aref, D, qf, wm, model.opt_tolerance)
+        )(data.qM, efc.J, efc.aref, efc.D, data.qfrc_smooth, data.qacc_warmstart)
 
 @jax.jit
 def unfused(data, efc):
     with jax.default_matmul_precision("highest"):
         return jax.vmap(
-            lambda qm, qld, J, aref, D, sm, wm: slv._scalar_cg_single(
-                plan.iterations, plan.ls_iterations, qm, qld, J, aref, D, sm, wm, model.opt_tolerance)
-        )(data.qM, data.qLD, efc.J, efc.aref, efc.D, data.qacc_smooth, data.qacc_warmstart)
+            lambda qm, J, aref, D, qf, wm: slv._smooth_scalar_cg_single(
+                plan.iterations, plan.ls_iterations, qm, J, aref, D, qf, wm, model.opt_tolerance)
+        )(data.qM, efc.J, efc.aref, efc.D, data.qfrc_smooth, data.qacc_warmstart)
 
-t0 = time.time(); xf, ff, qf = fused(data, efc); jax.block_until_ready(xf)
+t0 = time.time(); sf, xf, ff, qf = fused(data, efc); jax.block_until_ready(xf)
 print(f"fused compile+run {time.time()-t0:.1f}s", flush=True)
-t0 = time.time(); xu, fu, qu = unfused(data, efc); jax.block_until_ready(xu)
+t0 = time.time(); su, xu, fu, qu = unfused(data, efc); jax.block_until_ready(xu)
 print(f"unfused compile+run {time.time()-t0:.1f}s", flush=True)
 
-for name, a, b in [("qacc", xf, xu), ("force", ff, fu), ("qfrc", qf, qu)]:
+for name, a, b in [("smooth", sf, su), ("qacc", xf, xu), ("force", ff, fu), ("qfrc", qf, qu)]:
     a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
     err = np.abs(a - b).max() / max(1.0, np.abs(b).max())
     print(f"{name}: rel err fused vs unfused {err:.2e}", flush=True)
@@ -78,7 +83,7 @@ def scan_version(solve_fn):
     @jax.jit
     def run(data, efc):
         def body(warm, _):
-            x, f_, q = solve_fn(data.replace(qacc_warmstart=warm), efc)
+            _, x, f_, q = solve_fn(data.replace(qacc_warmstart=warm), efc)
             return x, ()
         out, _ = jax.lax.scan(body, data.qacc_warmstart, (), length=REPS)
         return out

@@ -44,45 +44,68 @@ def _use_tpu_kernel(n: int) -> bool:
 # ---------------------------------------------------------------------------
 
 
+def factor_in_place(l_ref, panel: int = 8):
+    """In-place blocked right-looking Cholesky of an (n, n, lanes) VMEM ref.
+
+    The original single-loop kernel rewrote the FULL (n, n, lanes) block on
+    every one of the n steps (masked rank-1 update) — 3x the n^3/3 flops a
+    Cholesky needs. Here a static Python loop over column panels gives each
+    step a STATIC trailing-block bound [p0:, p0:], so step j only touches the
+    submatrix the rank-1 update can actually change; per-entry arithmetic is
+    bit-identical (the skipped region is exactly where the masked update
+    subtracted 0.0). fori_loop within the panel keeps Mosaic compile time
+    flat (a fully unrolled variant compiles for ~10 minutes). Column j is
+    read as ROW j (the trailing submatrix stays symmetric and the
+    sub-diagonal part of row j is masked out), so the per-step extraction is
+    an O(n) dynamic slice instead of an O(n^2) reduction.
+
+    Upper-triangle entries hold garbage afterwards; callers that expose L
+    must mask with row >= col (the substitution helpers below never read
+    the upper triangle)."""
+    n = l_ref.shape[0]
+    for p0 in range(0, n, panel):
+        m = n - p0
+        k_m = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+        col_m = jax.lax.broadcasted_iota(jnp.int32, (m, m, 1), 1)
+
+        def body(jj, _, p0=p0, k_m=k_m, col_m=col_m):
+            row = l_ref[pl.ds(p0 + jj, 1), p0:, :][0]  # (m, lanes)
+            diag = jnp.sum(jnp.where(k_m == jj, row, 0.0), axis=0)  # (lanes,)
+            c = row * jax.lax.rsqrt(diag)[None, :]
+            # rank-1 trailing update; zeroing entries <= jj of the column
+            # makes the outer product self-masking (no (m, m, lanes) mask
+            # temporary)
+            colm = jnp.where(k_m > jj, c, 0.0)
+            a = jnp.where(col_m == jj, c[:, None, :], l_ref[p0:, p0:, :])
+            l_ref[p0:, p0:, :] = a - colm[:, None, :] * colm[None, :, :]
+            return 0
+
+        jax.lax.fori_loop(0, min(panel, m), body, 0)
+
+
 def _cholesky_kernel(a_ref, l_ref):
-    """Right-looking Cholesky, batch on lanes; fori_loop keeps Mosaic compile
-    time flat (a fully unrolled variant compiles for ~10 minutes)."""
+    """Lower Cholesky, batch on lanes; works in-place in the output ref so
+    the loop carries no (n, n, lanes) value (VMEM budget)."""
     n = a_ref.shape[0]
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
-    k_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-
     l_ref[:] = a_ref[:]  # no-op copy when aliased; correctness otherwise
-
-    # Work in-place in the output ref: the fori_loop then carries no
-    # (n, n, lanes) value, which is what kept the VMEM footprint over budget.
-    # Column j is read as ROW j (the trailing submatrix stays symmetric and
-    # the sub-diagonal part of row j is masked out), so the per-step
-    # extraction is an O(n) dynamic slice instead of an O(n^2) reduction.
-    def body(j, _):
-        row = l_ref[pl.ds(j, 1), :, :][0]  # (n, lanes)
-        diag = jnp.sum(jnp.where(k_ids == j, row, 0.0), axis=0)  # (lanes,)
-        d = jax.lax.rsqrt(diag)
-        col = row * d[None, :]
-        a = jnp.where(col_ids == j, col[:, None, :], l_ref[:])
-        # rank-1 trailing update; zeroing entries <= j of the column makes the
-        # outer product self-masking (no (n, n, lanes) mask temporary)
-        colm = jnp.where(k_ids > j, col, 0.0)
-        l_ref[:] = a - colm[:, None, :] * colm[None, :, :]
-        return 0
-
-    jax.lax.fori_loop(0, n, body, 0)
+    factor_in_place(l_ref)
     l_ref[:] = jnp.where(row_ids >= col_ids, l_ref[:], 0.0)
 
 
-def _cho_solve_kernel(l_ref, b_ref, x_ref, lt_ref):
-    """Solves L L^T x = b for one lane-tile; b/x are (n, lanes)."""
+def substitution(l_ref, lt_ref, b):
+    """Solves L L^T x = b by forward/backward substitution; b is (n, lanes).
+
+    Reads only the lower triangle of l_ref (upper garbage from
+    `factor_in_place` is never touched). Fills lt_ref with L^T: the backward
+    pass consumes columns of L = rows of L^T, and ref dynamic slicing works
+    where value dynamic_slice does not. Row i of L comes via a dynamic slice
+    on the major dim: O(n) per step instead of an O(n^2) masked reduction
+    (which would make each solve O(n^3))."""
     n = l_ref.shape[0]
-    b = b_ref[:]
     k_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
 
-    # row i of L via dynamic slice on the major dim: O(n) per step instead of
-    # an O(n^2) masked reduction (which would make each solve O(n^3))
     def fwd_body(i, y):
         r = l_ref[pl.ds(i, 1), :, :][0]  # (n, lanes)
         lii = jnp.sum(jnp.where(k_ids == i, r, 0.0), axis=0)  # (lanes,)
@@ -93,8 +116,6 @@ def _cho_solve_kernel(l_ref, b_ref, x_ref, lt_ref):
 
     y = jax.lax.fori_loop(0, n, fwd_body, jnp.zeros_like(b))
 
-    # backward pass consumes columns of L = rows of L^T; transpose once into
-    # scratch (ref dynamic slicing works where value dynamic_slice does not)
     lt_ref[:] = jnp.swapaxes(l_ref[:], 0, 1)
 
     def bwd_body(t, x):
@@ -106,8 +127,20 @@ def _cho_solve_kernel(l_ref, b_ref, x_ref, lt_ref):
         v = (yi - s) / lii
         return jnp.where(k_ids == i, v[None, :], x)
 
-    x = jax.lax.fori_loop(0, n, bwd_body, jnp.zeros_like(b))
-    x_ref[:] = x
+    return jax.lax.fori_loop(0, n, bwd_body, jnp.zeros_like(b))
+
+
+def _cho_solve_kernel(l_ref, b_ref, x_ref, lt_ref):
+    """Solves L L^T x = b for one lane-tile; b/x are (n, lanes)."""
+    x_ref[:] = substitution(l_ref, lt_ref, b_ref[:])
+
+
+def _solve_spd_kernel(a_ref, b_ref, x_ref, l_ref, lt_ref):
+    """Solves A x = b (A SPD) in one kernel: factor A into VMEM scratch,
+    then substitute — the factor never round-trips through HBM."""
+    l_ref[:] = a_ref[:]
+    factor_in_place(l_ref)
+    x_ref[:] = substitution(l_ref, lt_ref, b_ref[:])
 
 
 def _pad_batch(x, tile):
@@ -174,6 +207,38 @@ def _cho_solve_tpu(l_bnn: jax.Array, b_bn: jax.Array) -> jax.Array:
     return jnp.moveaxis(out[:, :b_orig], -1, 0)
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _solve_spd_tpu(a_bnn: jax.Array, b_bn: jax.Array) -> jax.Array:
+    """Solves A x = b for [B, n, n] SPD A, [B, n] b -> [B, n]."""
+    b, n, _ = a_bnn.shape
+    a = jnp.moveaxis(a_bnn, 0, -1)  # (n, n, B)
+    rhs = jnp.moveaxis(b_bn, 0, -1)  # (n, B)
+    a, b_orig = _pad_batch(a, LANE_TILE)
+    rhs, _ = _pad_batch(rhs, LANE_TILE)
+    bp = a.shape[-1]
+    out = pl.pallas_call(
+        _solve_spd_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, bp), rhs.dtype),
+        grid=(bp // LANE_TILE,),
+        in_specs=[
+            pl.BlockSpec(
+                (n, n, LANE_TILE), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (n, LANE_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (n, LANE_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n, n, LANE_TILE), rhs.dtype),  # L
+            pltpu.VMEM((n, n, LANE_TILE), rhs.dtype),  # L^T
+        ],
+    )(a, rhs)
+    return jnp.moveaxis(out[:, :b_orig], -1, 0)
+
+
 # ---------------------------------------------------------------------------
 # public API with custom vmap dispatch
 # ---------------------------------------------------------------------------
@@ -194,6 +259,37 @@ def _cholesky_vmap(axis_size, in_batched, a):
     if _use_tpu_kernel(n):
         return _cholesky_tpu(a), True
     return jnp.linalg.cholesky(a), True
+
+
+@jax.custom_batching.custom_vmap
+def solve_spd(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Solves A x = b for SPD [n, n] A and [n] b (factor + substitution in
+    ONE lane-batched kernel under vmap on TPU — the factor stays in VMEM).
+    Numerics match cholesky() followed by cho_solve() on every backend."""
+    l = jnp.linalg.cholesky(a)
+    y = jax.scipy.linalg.solve_triangular(l, b, lower=True)
+    return jax.scipy.linalg.solve_triangular(l.T, y, lower=False)
+
+
+@solve_spd.def_vmap
+def _solve_spd_vmap(axis_size, in_batched, a, b):
+    a_batched, b_batched = in_batched
+    if not a_batched:
+        a = jnp.broadcast_to(a, (axis_size,) + a.shape)
+    if not b_batched:
+        b = jnp.broadcast_to(b, (axis_size,) + b.shape)
+    n = a.shape[-1]
+    if _use_tpu_kernel(n) and b.ndim == 2:
+        return _solve_spd_tpu(a, b), True
+
+    def base(a_, b_):
+        l_ = jnp.linalg.cholesky(a_)
+        y = jax.scipy.linalg.solve_triangular(l_, b_, lower=True)
+        return jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(l_, -1, -2), y, lower=False
+        )
+
+    return jax.vmap(base)(a, b), True
 
 
 @jax.custom_batching.custom_vmap

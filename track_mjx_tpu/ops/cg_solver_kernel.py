@@ -1,13 +1,20 @@
-"""Whole-CG constraint solve as one lane-batched Pallas TPU kernel.
+"""Whole smooth-acceleration + CG constraint solve as one Pallas TPU kernel.
 
 Round-1 profiling showed the CG constraint solve dominating the batched
 physics step (~3.8 ms of ~8 ms at 1024 envs): each of the ~8 Cholesky-solve /
 cost-evaluation kernel dispatches per step pays an (n, n, B) layout transpose
-and an HBM round trip for every intermediate. This kernel runs the ENTIRE
-solver — warmstart selection, `iterations` preconditioned Polak-Ribiere CG
-steps each with a `ls_iterations` Newton linesearch, and the final force
-extraction — in a single Pallas invocation per 128-lane batch tile, with J,
-L, L^T and all iterates resident in VMEM.
+and an HBM round trip for every intermediate. Round-2 profiling at the
+reference workload scale then showed the remaining dispatch chain —
+cholesky(qM) kernel -> L to HBM -> cho_solve(qacc_smooth) kernel -> L
+transposed again into the whole-CG kernel — costing ~3s of a ~29s training
+step in factor traffic and layout transposes alone. This kernel therefore
+runs EVERYTHING from the mass matrix down in one Pallas invocation per
+128-lane batch tile: Cholesky-factors qM in VMEM (blocked right-looking,
+ops/batched_linalg.factor_in_place), solves qacc_smooth = M^-1 qfrc_smooth,
+then the entire constraint solver — warmstart selection, `iterations`
+preconditioned Polak-Ribiere CG steps each with a `ls_iterations` Newton
+linesearch, and the final force extraction — with J, L, L^T and all iterates
+resident in VMEM. The factor never exists in HBM.
 
 Scope: unilateral scalar rows only (joint limits + pyramidal friction — the
 rodent workload). Elliptic-cone models use the unfused path in
@@ -15,18 +22,18 @@ physics/solver.py. Dispatch is via jax.custom_batching.custom_vmap like
 ops/batched_linalg.py: per-env solver code hits this kernel under vmap on
 TPU and a pure-jnp fallback elsewhere.
 
-VMEM at (n=73, nefc=187, 128 lanes): J 7 MB + L 2.7 MB per block,
-double-buffered by the pipeline (grid over 128-lane batch tiles), an L^T
-scratch (2.7 MB, built in-kernel — cheaper than DMAing a second HBM
-transpose of the factor in), plus ~2 (e, n, T) matvec temporaries (7 MB
-each) on Mosaic's stack — ~40 MB total,
-over the 16 MB *default* scoped limit but comfortably inside the v5e's
-128 MB VMEM, so the limit is raised via CompilerParams(vmem_limit_bytes).
+VMEM at (n=73, nefc=187, 128 lanes): J 7 MB + qM 2.7 MB per block,
+double-buffered by the pipeline (grid over 128-lane batch tiles), L and L^T
+scratch (2.7 MB each, built in-kernel), plus ~2 (e, n, T) matvec temporaries
+(7 MB each) on Mosaic's stack — ~43 MB total, over the 16 MB *default*
+scoped limit but comfortably inside the v5e's 128 MB VMEM, so the limit is
+raised via CompilerParams(vmem_limit_bytes).
 
 Algorithm parity: mirrors physics/solver.py's scalar path op-for-op (same
 fused where-sums in the linesearch derivatives, same freeze/beta logic).
-M @ v is computed as L (L^T v) from the factor instead of carrying qM into
-VMEM; this is the only intentional numeric difference on the TPU path.
+M @ v is computed as L (L^T v) from the factor instead of carrying a second
+copy of qM live; this is the only intentional numeric difference on the TPU
+path.
 """
 
 from __future__ import annotations
@@ -36,6 +43,8 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from track_mjx_tpu.ops.batched_linalg import factor_in_place
 
 try:  # TPU-only module; import guarded so CPU-only envs still work
     from jax.experimental.pallas import tpu as pltpu
@@ -56,7 +65,7 @@ def kernel_available(n: int, nefc: int) -> bool:
     if pltpu is None or jax.default_backend() != "tpu":
         return False
     blocks = 2 * (nefc * n + n * n) * LANE_TILE * 4  # double-buffered
-    scratch = n * n * LANE_TILE * 4  # in-kernel L^T
+    scratch = 2 * n * n * LANE_TILE * 4  # in-kernel L and L^T
     temps = 2 * nefc * n * LANE_TILE * 4  # 3-D matvec products
     small = (4 * nefc + 8 * n) * LANE_TILE * 4
     return nefc > 0 and blocks + scratch + temps + small <= _VMEM_BUDGET_BYTES
@@ -65,33 +74,40 @@ def kernel_available(n: int, nefc: int) -> bool:
 def _cg_kernel(
     iterations: int,
     ls_iterations: int,
-    l_ref,
+    qm_ref,
     j_ref,
     aref_ref,
     d_ref,
-    smooth_ref,
+    qfrc_smooth_ref,
     warm_ref,
     tolscale_ref,
     x_ref,
     force_ref,
     qfrc_ref,
+    smooth_out_ref,
     jar_ref,
     grad_ref,
     mgrad_ref,
     p_ref,
     imp_ref,
     sol_ref,
+    l_ref,
     lt_ref,
 ):
-    n = l_ref.shape[0]
-    # L^T built once in scratch (ref dynamic slicing needs the row-major
-    # form for the backward substitution); cheaper than materializing an
-    # (n, n, B) transpose in HBM and DMAing it in as a second input
+    n = qm_ref.shape[0]
+    # factor qM in VMEM (blocked right-looking; upper garbage masked out so
+    # the dense matv_m reads below see a clean lower factor), then L^T in a
+    # second scratch (ref dynamic slicing needs the row-major form for the
+    # backward substitution)
+    row_n = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+    col_n = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+    l_ref[:] = qm_ref[:]
+    factor_in_place(l_ref)
+    l_ref[:] = jnp.where(row_n >= col_n, l_ref[:], 0.0)
     lt_ref[:] = jnp.swapaxes(l_ref[:], 0, 1)
     k_n = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     aref = aref_ref[:]
     d_rows = d_ref[:]
-    smooth = smooth_ref[:]
 
     def matv_j(x):  # J @ x -> (e, T)
         return jnp.sum(j_ref[:] * x[None, :, :], axis=1)
@@ -138,6 +154,14 @@ def _cg_kernel(
         mgrad_ref[:] = jnp.zeros_like(b)
         jax.lax.fori_loop(0, n, bwd, 0)
         return mgrad_ref[:]
+
+    # qacc_smooth = M^-1 qfrc_smooth, solved in-kernel from the fresh factor
+    # and exported (forward dynamics consumes it outside the solver too).
+    # Read back through the output ref: the ref round-trip forces a
+    # canonical layout before the value is captured by the loop closures
+    # below (see the rank-2 note).
+    smooth_out_ref[:] = chosolve(qfrc_smooth_ref[:])
+    smooth = smooth_out_ref[:]
 
     # Per-lane scalars (cost, alpha, beta, ...) are kept RANK-2 (1, T)
     # throughout — reductions use keepdims=True and broadcasts are plain
@@ -257,24 +281,27 @@ def _pad_tiles(x, tile):
 
 @functools.partial(jax.jit, static_argnames=("iterations", "ls_iterations"))
 def _cg_solve_tpu(
-    qld, j, aref, d, smooth, warm, tol, *, iterations, ls_iterations
+    qm, j, aref, d, qfrc_smooth, warm, tol, *, iterations, ls_iterations
 ):
-    """Batch-first [B, ...] inputs -> (x, force, qfrc) batch-first."""
-    bsz, n = smooth.shape
+    """Batch-first [B, ...] inputs -> (qacc_smooth, x, force, qfrc)."""
+    bsz, n = qfrc_smooth.shape
     e = aref.shape[-1]
+    dtype = qfrc_smooth.dtype
     # lane layout, padded to full tiles
-    l_nn = _pad_tiles(jnp.moveaxis(qld, 0, -1), LANE_TILE)
+    qm_nn = _pad_tiles(jnp.moveaxis(qm, 0, -1), LANE_TILE)
     j_en = _pad_tiles(jnp.moveaxis(j, 0, -1), LANE_TILE)
     aref_e = _pad_tiles(jnp.moveaxis(aref, 0, -1), LANE_TILE)
     d_e = _pad_tiles(jnp.moveaxis(d, 0, -1), LANE_TILE)
-    smooth_n = _pad_tiles(jnp.moveaxis(smooth, 0, -1), LANE_TILE)
+    qfrc_n = _pad_tiles(jnp.moveaxis(qfrc_smooth, 0, -1), LANE_TILE)
     warm_n = _pad_tiles(jnp.moveaxis(warm, 0, -1), LANE_TILE)
-    # convergence threshold tol * sum(diag M), diag(M)_i = sum_k L[i,k]^2
+    # convergence threshold tol * sum(diag M) = tol * trace(M)
     # (see the in-kernel note on why this is precomputed)
-    scale = jnp.maximum(jnp.sum(qld * qld, axis=(1, 2)), _EPS)
-    tolscale = tol.astype(smooth.dtype) * scale
-    tolscale_1 = _pad_tiles(tolscale[None, :].astype(smooth.dtype), LANE_TILE)
-    tiles = l_nn.shape[-1] // LANE_TILE
+    scale = jnp.maximum(
+        jnp.sum(jnp.diagonal(qm, axis1=1, axis2=2), axis=-1), _EPS
+    )
+    tolscale = tol.astype(dtype) * scale
+    tolscale_1 = _pad_tiles(tolscale[None, :].astype(dtype), LANE_TILE)
+    tiles = qm_nn.shape[-1] // LANE_TILE
 
     kernel = functools.partial(_cg_kernel, iterations, ls_iterations)
 
@@ -288,39 +315,41 @@ def _cg_solve_tpu(
             (a, b, LANE_TILE), lambda i: (0, 0, i), memory_space=pltpu.VMEM
         )
 
-    xs, fs, qs = pl.pallas_call(
+    xs, fs, qs, sm = pl.pallas_call(
         kernel,
         grid=(tiles,),
         out_shape=(
-            jax.ShapeDtypeStruct((n, tiles * LANE_TILE), smooth.dtype),
-            jax.ShapeDtypeStruct((e, tiles * LANE_TILE), smooth.dtype),
-            jax.ShapeDtypeStruct((n, tiles * LANE_TILE), smooth.dtype),
+            jax.ShapeDtypeStruct((n, tiles * LANE_TILE), dtype),
+            jax.ShapeDtypeStruct((e, tiles * LANE_TILE), dtype),
+            jax.ShapeDtypeStruct((n, tiles * LANE_TILE), dtype),
+            jax.ShapeDtypeStruct((n, tiles * LANE_TILE), dtype),
         ),
         in_specs=[
-            lanes3(n, n),  # L
+            lanes3(n, n),  # qM
             lanes3(e, n),  # J
             lanes(e),  # aref
             lanes(e),  # D
-            lanes(n),  # qacc_smooth
+            lanes(n),  # qfrc_smooth
             lanes(n),  # warmstart
             lanes(1),  # tol * scale
         ],
-        out_specs=(lanes(n), lanes(e), lanes(n)),
+        out_specs=(lanes(n), lanes(e), lanes(n), lanes(n)),
         scratch_shapes=[
-            pltpu.VMEM((e, LANE_TILE), smooth.dtype),  # jar
-            pltpu.VMEM((n, LANE_TILE), smooth.dtype),  # grad
-            pltpu.VMEM((n, LANE_TILE), smooth.dtype),  # mgrad
-            pltpu.VMEM((n, LANE_TILE), smooth.dtype),  # p
-            pltpu.VMEM((1, LANE_TILE), smooth.dtype),  # improved mask
-            pltpu.VMEM((n, LANE_TILE), smooth.dtype),  # substitution state
-            pltpu.VMEM((n, n, LANE_TILE), smooth.dtype),  # L^T
+            pltpu.VMEM((e, LANE_TILE), dtype),  # jar
+            pltpu.VMEM((n, LANE_TILE), dtype),  # grad
+            pltpu.VMEM((n, LANE_TILE), dtype),  # mgrad
+            pltpu.VMEM((n, LANE_TILE), dtype),  # p
+            pltpu.VMEM((1, LANE_TILE), dtype),  # improved mask
+            pltpu.VMEM((n, LANE_TILE), dtype),  # substitution state
+            pltpu.VMEM((n, n, LANE_TILE), dtype),  # L
+            pltpu.VMEM((n, n, LANE_TILE), dtype),  # L^T
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT_BYTES
         ),
-    )(l_nn, j_en, aref_e, d_e, smooth_n, warm_n, tolscale_1)
+    )(qm_nn, j_en, aref_e, d_e, qfrc_n, warm_n, tolscale_1)
 
     def unlane(t):  # (rows, tiles*T) -> (B, rows)
         return jnp.moveaxis(t, 0, -1)[:bsz]
 
-    return unlane(xs), unlane(fs), unlane(qs)
+    return unlane(sm), unlane(xs), unlane(fs), unlane(qs)

@@ -41,7 +41,10 @@ def fwd_position(plan: PhysicsPlan, model: Model, data: Data):
     data = _com.com_pos(plan, model, data)
     data = _actuation.tendon(plan, model, data)
     data = _inertia.crb(plan, model, data)
-    data = _inertia.factor_m(plan, model, data)
+    if not _solver.fused_scalar_cg(plan):
+        # fused-CG plans never materialize qLD: the solve op factors qM
+        # in-kernel (solver.fused_scalar_cg)
+        data = _inertia.factor_m(plan, model, data)
     data, contact = _collision.collide(plan, model, data)
     efc = _constraint.make_constraint(plan, model, data, contact)
     return data, efc
@@ -60,6 +63,9 @@ def fwd_actuation(plan: PhysicsPlan, model: Model, data: Data) -> Data:
 
 def fwd_acceleration(plan: PhysicsPlan, model: Model, data: Data) -> Data:
     qfrc_smooth = data.qfrc_passive - data.qfrc_bias + data.qfrc_actuator
+    if _solver.fused_scalar_cg(plan):
+        # qacc_smooth is produced by the fused smooth+CG op in solve()
+        return data.replace(qfrc_smooth=qfrc_smooth)
     qacc_smooth = _inertia.solve_m(data, qfrc_smooth)
     return data.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth)
 
@@ -162,9 +168,11 @@ def _euler_impl(plan: PhysicsPlan, model: Model, data: Data) -> Data:
     from track_mjx_tpu.ops import batched_linalg
 
     mh = data.qM + dt * jnp.diag(model.dof_damping)
-    lh = batched_linalg.cholesky(mh)
     rhs = data.qfrc_smooth + data.qfrc_constraint
-    qacc_eff = batched_linalg.cho_solve(lh, rhs)
+    # factor + substitution in one fused kernel on TPU (the (M + h D) factor
+    # never round-trips through HBM); CPU numerics identical to
+    # cholesky-then-cho_solve
+    qacc_eff = batched_linalg.solve_spd(mh, rhs)
 
     act = _advance_act(plan, model, data, dt)
     qvel = data.qvel + dt * qacc_eff
@@ -305,9 +313,7 @@ def implicit(plan: PhysicsPlan, model: Model, data: Data) -> Data:
         if fast:
             qderiv = 0.5 * (qderiv + qderiv.T)
             mh = data.qM - dt * qderiv
-            qacc_eff = batched_linalg.cho_solve(
-                batched_linalg.cholesky(mh), rhs
-            )
+            qacc_eff = batched_linalg.solve_spd(mh, rhs)
         else:
             qacc_eff = jnp.linalg.solve(data.qM - dt * qderiv, rhs)
         act = _advance_act(plan, model, data, dt)

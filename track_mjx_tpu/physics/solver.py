@@ -174,32 +174,63 @@ def _scalar_cg_single(
     return state.x, force, j.T @ force
 
 
+def fused_scalar_cg(plan: PhysicsPlan) -> bool:
+    """True when the model solves through the fused smooth+CG op: CG solver,
+    unilateral scalar rows only (limits / condim-1 / pyramidal — the rodent
+    workload). These models skip factor_m/solve_m in forward(): the op owns
+    factorization and the qacc_smooth solve on every backend (data.qLD is
+    never materialized for them)."""
+    return bool(
+        plan.nefc > 0
+        and plan.solver == 1
+        and plan.ncon_ell == 0
+        and not (plan.ne or plan.nf)
+    )
+
+
+def _smooth_scalar_cg_single(
+    iterations, ls_iterations, qm, j, aref, d, qfrc_smooth, warm, tol
+):
+    """One env's factor + smooth solve + CG -> (qacc_smooth, x, force, qfrc).
+
+    The call sequence (cholesky -> cho_solve -> _scalar_cg_single) is exactly
+    the pre-fusion forward flow, so non-TPU numerics are unchanged."""
+    qld = batched_linalg.cholesky(qm)
+    smooth = batched_linalg.cho_solve(qld, qfrc_smooth)
+    x, force, qfrc = _scalar_cg_single(
+        iterations, ls_iterations, qm, qld, j, aref, d, smooth, warm, tol
+    )
+    return smooth, x, force, qfrc
+
+
 @functools.lru_cache(maxsize=None)
 def _make_scalar_cg_op(iterations: int, ls_iterations: int):
-    plain = functools.partial(_scalar_cg_single, iterations, ls_iterations)
+    plain = functools.partial(
+        _smooth_scalar_cg_single, iterations, ls_iterations
+    )
 
     @jax.custom_batching.custom_vmap
-    def op(qm, qld, j, aref, d, smooth, warm, tol):
-        return plain(qm, qld, j, aref, d, smooth, warm, tol)
+    def op(qm, j, aref, d, qfrc_smooth, warm, tol):
+        return plain(qm, j, aref, d, qfrc_smooth, warm, tol)
 
     @op.def_vmap
-    def _vmap(axis_size, in_batched, qm, qld, j, aref, d, smooth, warm, tol):
-        args = [qm, qld, j, aref, d, smooth, warm, tol]
-        per_env = in_batched[:7]
-        n = smooth.shape[-1]
+    def _vmap(axis_size, in_batched, qm, j, aref, d, qfrc_smooth, warm, tol):
+        args = [qm, j, aref, d, qfrc_smooth, warm, tol]
+        per_env = in_batched[:6]
+        n = qfrc_smooth.shape[-1]
         e = aref.shape[-1]
-        tol_scalar = tol[0] if in_batched[7] else tol
+        tol_scalar = tol[0] if in_batched[6] else tol
         if all(per_env) and cg_solver_kernel.kernel_available(n, e):
             out = cg_solver_kernel._cg_solve_tpu(
-                qld, j, aref, d, smooth, warm, tol_scalar,
+                qm, j, aref, d, qfrc_smooth, warm, tol_scalar,
                 iterations=iterations, ls_iterations=ls_iterations,
             )
-            return out, (True, True, True)
+            return out, (True, True, True, True)
         args = [
             a if b else jnp.broadcast_to(a, (axis_size,) + jnp.shape(a))
             for a, b in zip(args, in_batched)
         ]
-        return jax.vmap(plain)(*args), (True, True, True)
+        return jax.vmap(plain)(*args), (True, True, True, True)
 
     return op
 
@@ -553,22 +584,27 @@ def solve(
                 fmin=efc.fmin,
                 fmax=efc.fmax,
             )
-        else:
-            # unilateral scalar rows only: dispatch through the custom_vmap
-            # op so the whole solve fuses into one Pallas kernel per batch
-            # tile on TPU
-            op = _make_scalar_cg_op(plan.iterations, plan.ls_iterations)
-            x, force, qfrc = op(
-                data.qM,
-                data.qLD,
-                efc.J,
-                efc.aref,
-                efc.D,
-                data.qacc_smooth,
-                data.qacc_warmstart,
-                model.opt_tolerance,
+            return data.replace(
+                qacc=x,
+                qfrc_constraint=qfrc.astype(dtype),
+                efc_force=force.astype(dtype),
             )
+        # unilateral scalar rows only: the fused smooth+CG op owns the qM
+        # factorization AND the qacc_smooth solve (forward() skipped
+        # factor_m/solve_m for this plan — see fused_scalar_cg); on TPU the
+        # whole chain is one Pallas kernel per batch tile
+        op = _make_scalar_cg_op(plan.iterations, plan.ls_iterations)
+        smooth, x, force, qfrc = op(
+            data.qM,
+            efc.J,
+            efc.aref,
+            efc.D,
+            data.qfrc_smooth,
+            data.qacc_warmstart,
+            model.opt_tolerance,
+        )
         return data.replace(
+            qacc_smooth=smooth.astype(dtype),
             qacc=x,
             qfrc_constraint=qfrc.astype(dtype),
             efc_force=force.astype(dtype),
