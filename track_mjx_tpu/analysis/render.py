@@ -125,17 +125,40 @@ def _mp4_writable() -> bool:
         return False
 
 
+_GL_AVAILABLE: Optional[bool] = None
+
+
 def gl_available() -> bool:
-    """True when a MuJoCo-usable GL context can be created."""
-    try:
-        m = mujoco.MjModel.from_xml_string(
-            "<mujoco><worldbody><geom type='sphere' size='0.1'/></worldbody></mujoco>"
+    """True when a MuJoCo-usable GL context can be created.
+
+    Probed in a SUBPROCESS: on hosts without any GL platform library,
+    constructing ``mujoco.Renderer`` can abort the interpreter outright
+    (glfw SIGABRT) rather than raise, so an in-process try/except is unsafe.
+    The result is cached for the process lifetime."""
+    global _GL_AVAILABLE
+    if _GL_AVAILABLE is None:
+        import subprocess
+        import sys
+
+        probe = (
+            "import mujoco;"
+            "m=mujoco.MjModel.from_xml_string("
+            "\"<mujoco><worldbody><geom type='sphere' size='0.1'/>"
+            "</worldbody></mujoco>\");"
+            "r=mujoco.Renderer(m,16,16);r.close()"
         )
-        r = mujoco.Renderer(m, 16, 16)
-        r.close()
-        return True
-    except Exception:
-        return False
+        try:
+            _GL_AVAILABLE = (
+                subprocess.run(
+                    [sys.executable, "-c", probe],
+                    capture_output=True,
+                    timeout=60,
+                ).returncode
+                == 0
+            )
+        except Exception:
+            _GL_AVAILABLE = False
+    return _GL_AVAILABLE
 
 
 def build_playback_model(
@@ -178,14 +201,23 @@ def make_rollout_renderer(
     scene_option.sitegroup[:] = [1, 1, 1, 1, 1, 0]
 
     mujoco.mj_kinematics(mj_model, mj_data)
-    renderer = None
-    if gl_available():
-        renderer = mujoco.Renderer(mj_model, height=512, width=512)
-    else:
-        logging.warning(
-            "No GL backend available; renderer disabled (videos skipped)."
-        )
+    renderer = _make_renderer(mj_model, 512, 512)
     return renderer, mj_model, mj_data, scene_option
+
+
+def _make_renderer(mj_model: mujoco.MjModel, height: int, width: int):
+    """GL renderer when a context exists, else the software rasterizer.
+
+    The reference is GL-only (track_mjx/analysis/render.py:181-239); on
+    headless hosts this framework degrades to ``SoftwareRenderer`` (same
+    update_scene/render API, CPU painter's algorithm) so video logging and
+    offline rendering still produce frames everywhere."""
+    if gl_available():
+        return mujoco.Renderer(mj_model, height=height, width=width)
+    from track_mjx_tpu.analysis.software_render import SoftwareRenderer
+
+    logging.warning("No GL backend available; using the software rasterizer.")
+    return SoftwareRenderer(mj_model, height=height, width=width)
 
 
 def render_rollout(
@@ -212,11 +244,10 @@ def render_rollout(
     if cfg["env_config"].get("render_fps") is not None:
         render_fps = cfg["env_config"]["render_fps"]
 
-    if renderer is None:
-        raise RuntimeError("No GL backend available for rendering")
-
     mujoco.mj_kinematics(mj_model, mj_data)
-    renderer = mujoco.Renderer(mj_model, height=height, width=width)
+    if renderer is not None:
+        renderer.close()
+    renderer = _make_renderer(mj_model, height=height, width=width)
 
     frames = []
     for qpos in qpos_list:
