@@ -47,15 +47,23 @@ def _strip_weak_type(tree):
     return jax.tree.map(lambda x: jnp.asarray(x).astype(jnp.asarray(x).dtype), tree)
 
 
-def build_env(num_clips: int, clip_length: int):
+def build_env(num_clips: int, clip_length: int | None = None, walker_type: str = "rodent"):
     from track_mjx_tpu.envs.task.reward import RewardConfig
     from track_mjx_tpu.envs.task.tracking import MultiClipTracking
-    from track_mjx_tpu.envs.walker.rodent import Rodent
     from track_mjx_tpu.io.synthetic import synthesize_clips
     from track_mjx_tpu.utils.config import load_config
 
-    cfg = load_config("rodent-full-clips")
-    walker = Rodent(
+    if walker_type == "fly":
+        from track_mjx_tpu.envs.walker.fly import Fly as Walker
+
+        cfg = load_config("fly-mc-intention")
+    else:
+        from track_mjx_tpu.envs.walker.rodent import Rodent as Walker
+
+        cfg = load_config("rodent-full-clips")
+    if clip_length is None:
+        clip_length = int(cfg.reference_config.clip_length)
+    walker = Walker(
         joint_names=cfg.walker_config.joint_names,
         body_names=cfg.walker_config.body_names,
         end_eff_names=cfg.walker_config.end_eff_names,
@@ -80,12 +88,12 @@ def build_env(num_clips: int, clip_length: int):
     return env, cfg
 
 
-def bench_rollout(env, num_envs: int, steps: int):
+def bench_rollout(env, num_envs: int, steps: int, episode_length: int = 200):
     """Pure env throughput: batched random-action rollout under one jit."""
     from track_mjx_tpu.envs import wrappers
 
     wrapped = wrappers.wrap(
-        env, episode_length=200, action_repeat=1, use_lstm=False
+        env, episode_length=episode_length, action_repeat=1, use_lstm=False
     )
     reset_fn = jax.jit(wrapped.reset)
     keys = jax.random.split(jax.random.PRNGKey(0), num_envs)
@@ -296,6 +304,8 @@ def bench_trainer(
     epoch_steps_per_call=10,
     profile_dir=None,
     use_lstm=False,
+    episode_length=195,
+    num_evals=4,
 ):
     """training/sps from the real trainer (reference metric definition),
     epoch-chunked to respect single-device-call runtime bounds. Also captures
@@ -351,7 +361,7 @@ def bench_trainer(
     trainer_ppo.train(
         environment=env,
         num_timesteps=num_timesteps,
-        episode_length=195,
+        episode_length=episode_length,
         ckpt_mgr=None,
         config_dict=config_dict,
         num_envs=num_envs,
@@ -365,7 +375,7 @@ def bench_trainer(
         batch_size=batch_size,
         num_minibatches=num_minibatches,
         num_updates_per_batch=num_updates_per_batch,
-        num_evals=3,
+        num_evals=num_evals,
         normalize_observations=True,
         use_lstm=use_lstm,
         deterministic_eval=True,
@@ -374,10 +384,20 @@ def bench_trainer(
         epoch_steps_per_call=epoch_steps_per_call,
         profile_dir=profile_dir,
     )
-    # first epoch includes compile; report the best epoch (and eval/sps from
-    # the non-compile evals)
+    # Sustained protocol (BASELINE.md measurement note): the first epoch
+    # includes compile and the tunnel's warmup, so drop it and report the
+    # MEDIAN of the remaining epochs plus the observed spread — a single
+    # contended (or lucky) epoch can no longer define the headline number.
+    sustained = sps_samples[1:] if len(sps_samples) > 1 else sps_samples
+    train_sps = float(np.median(sustained)) if sustained else 0.0
+    spread = (
+        {"min": round(min(sustained), 1), "max": round(max(sustained), 1),
+         "n_epochs": len(sustained)}
+        if sustained
+        else None
+    )
     eval_sps = max(eval_sps_samples[1:], default=None) if eval_sps_samples else None
-    return (max(sps_samples) if sps_samples else 0.0), eval_sps
+    return train_sps, eval_sps, spread
 
 
 def main():
@@ -404,18 +424,37 @@ def main():
                         "training-epoch device call into this directory "
                         "(phases appear as rollout/sgd/normalizer_update "
                         "named scopes)")
+    p.add_argument("--walker", choices=("rodent", "fly"), default="rodent",
+                   help="workload: rodent-full-clips (default) or "
+                        "fly-mc-intention scale")
+    p.add_argument("--num-evals", type=int, default=4,
+                   help="trainer epochs (first is compile/warmup and dropped; "
+                        "the headline is the median of the rest)")
     args = p.parse_args()
 
     log(f"devices: {jax.devices()}")
-    env, cfg = build_env(args.num_clips, clip_length=250)
-    log(f"rodent env built: nq={env.plan.nq} nv={env.plan.nv} nu={env.plan.nu} "
-        f"ncon={env.plan.ncon} nefc={env.plan.nefc}")
+    env, cfg = build_env(args.num_clips, walker_type=args.walker)
+    episode_length = int(
+        (
+            cfg.reference_config.clip_length
+            - cfg.reference_config.random_init_range
+            - cfg.reference_config.traj_length
+        )
+        * env._steps_for_cur_frame
+    )
+    log(f"{args.walker} env built: nq={env.plan.nq} nv={env.plan.nv} "
+        f"nu={env.plan.nu} ncon={env.plan.ncon} nefc={env.plan.nefc} "
+        f"episode_length={episode_length}")
 
     rollout_sps = None
     if not args.skip_rollout:
-        rollout_sps = bench_rollout(env, args.rollout_envs, args.rollout_steps)
+        rollout_sps = bench_rollout(
+            env, args.rollout_envs, args.rollout_steps,
+            episode_length=episode_length,
+        )
 
     eval_sps = None
+    spread = None
     if args.hand_rolled:
         train_sps = bench_training_step(
             env,
@@ -426,7 +465,7 @@ def main():
             args.updates_per_batch,
         )
     else:
-        train_sps, eval_sps = bench_trainer(
+        train_sps, eval_sps, spread = bench_trainer(
             env,
             cfg,
             args.num_envs,
@@ -437,6 +476,8 @@ def main():
             epoch_steps_per_call=args.epoch_steps_per_call,
             profile_dir=args.profile_dir,
             use_lstm=args.lstm,
+            episode_length=episode_length,
+            num_evals=args.num_evals,
         )
 
     baseline = None
@@ -457,9 +498,11 @@ def main():
                 "detail": {
                     "rollout_sps": round(rollout_sps, 1) if rollout_sps else None,
                     "eval_sps": round(eval_sps, 1) if eval_sps else None,
+                    "sustained": spread,
                     "num_envs": args.num_envs,
                     "batch_size": args.batch_size,
                     "num_minibatches": args.num_minibatches,
+                    "walker": args.walker,
                     "pipeline": "lstm" if args.lstm else "mlp",
                     "device": str(jax.devices()[0]),
                 },

@@ -1,13 +1,14 @@
-"""Long PPO learning run for curve sanity (BASELINE.md learning-curve row).
+"""Long PPO learning run for curve sanity (BASELINE.md learning-curve rows).
 
-Runs the MLP intention-PPO trainer at the reference rodent minibatch
-structure (batch 1024 x 16 minibatches x 4 updates, unroll 20 — reference:
-track_mjx/config/rodent-full-clips.yaml:72-88) on synthetic clips for tens of
-millions of env steps, under the production KL ramp, and records the
-eval-reward trajectory to a JSON file for BASELINE.md.
+Runs the MLP intention-PPO trainer at the reference minibatch structure
+(batch 1024 x 16 minibatches x 4 updates, unroll 20 — reference:
+track_mjx/config/rodent-full-clips.yaml:72-88 and fly-mc-intention.yaml:70-87)
+on synthetic clips for tens of millions of env steps, under the production KL
+ramp, and records the eval-reward / episode-length trajectory to a JSON file
+for BASELINE.md.
 
-Usage: python tools/long_run.py [--num-timesteps 50e6] [--num-envs 4096]
-       [--num-evals 16] [--out /tmp/long_run.json]
+Usage: python tools/long_run.py [--walker fly] [--num-timesteps 50e6]
+       [--num-envs 4096] [--num-evals 16] [--out /tmp/long_run.json]
 """
 
 from __future__ import annotations
@@ -26,17 +27,14 @@ if jax.default_backend() == "tpu":
 
 sys.path.insert(0, ".")
 
+import bench
 from track_mjx_tpu.agent.mlp_ppo import ppo as mlp_ppo
 from track_mjx_tpu.agent.mlp_ppo import ppo_networks
-from track_mjx_tpu.envs.task.reward import RewardConfig
-from track_mjx_tpu.envs.task.tracking import MultiClipTracking
-from track_mjx_tpu.envs.walker.rodent import Rodent
-from track_mjx_tpu.io.synthetic import synthesize_clips
-from track_mjx_tpu.utils.config import load_config
 
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--walker", choices=("rodent", "fly"), default="rodent")
     ap.add_argument("--num-timesteps", type=float, default=50e6)
     ap.add_argument("--num-envs", type=int, default=4096)
     ap.add_argument("--num-evals", type=int, default=16)
@@ -45,27 +43,20 @@ def main():
     ap.add_argument("--updates-per-batch", type=int, default=4)
     ap.add_argument("--epoch-steps-per-call", type=int, default=2)
     ap.add_argument("--n-clips", type=int, default=4)
+    ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--out", type=str, default="/tmp/long_run.json")
     args = ap.parse_args()
 
-    cfg = load_config("rodent-full-clips")
-    walker = Rodent(
-        joint_names=cfg.walker_config.joint_names,
-        body_names=cfg.walker_config.body_names,
-        end_eff_names=cfg.walker_config.end_eff_names,
-        torque_actuators=cfg.walker_config.torque_actuators,
-        rescale_factor=cfg.walker_config.rescale_factor,
+    env, cfg = bench.build_env(args.n_clips, walker_type=args.walker)
+    episode_length = int(
+        (
+            cfg.reference_config.clip_length
+            - cfg.reference_config.random_init_range
+            - cfg.reference_config.traj_length
+        )
+        * env._steps_for_cur_frame
     )
-    clips = synthesize_clips(walker._mj_model, n_clips=args.n_clips, n_frames=250)
-    rewards = dict(cfg.env_config.reward_weights)
-    rewards["healthy_z_range"] = tuple(rewards["healthy_z_range"])
-    env = MultiClipTracking(
-        reference_clip=clips,
-        walker=walker,
-        reward_config=RewardConfig(**rewards),
-        **dict(cfg.env_config.env_args),
-        **dict(cfg.reference_config),
-    )
+    print(f"episode_length={episode_length}", flush=True)
 
     factory = functools.partial(
         ppo_networks.make_intention_ppo_networks,
@@ -84,6 +75,7 @@ def main():
             "env_steps_k": int(step),
             "eval_reward": _f(metrics.get("eval/episode_reward")),
             "eval_reward_std": _f(metrics.get("eval/episode_reward_std")),
+            "avg_episode_length": _f(metrics.get("eval/avg_episode_length")),
             "training_sps": _f(metrics.get("training/sps")),
             "eval_sps": _f(metrics.get("eval/sps")),
         }
@@ -96,7 +88,7 @@ def main():
     mlp_ppo.train(
         environment=env,
         num_timesteps=int(args.num_timesteps),
-        episode_length=195,
+        episode_length=episode_length,
         ckpt_mgr=None,
         config_dict={"network_config": {}, "env_config": {"render_interval": 10_000}},
         num_envs=args.num_envs,
@@ -105,7 +97,7 @@ def main():
         entropy_cost=float(tc.entropy_cost),
         kl_weight=float(cfg.network_config.kl_weight),
         discounting=float(tc.discounting),
-        seed=int(tc.seed),
+        seed=int(tc.seed if args.seed is None else args.seed),
         unroll_length=int(tc.unroll_length),
         batch_size=args.batch_size,
         num_minibatches=args.num_minibatches,
