@@ -42,6 +42,7 @@ _SLOW_MODULES = {
 }
 _ORACLE_MODULES = {
     "test_physics_parity",
+    "test_cg_kernel_parity",
     "test_equality",
     "test_integrators",
     "test_fly",

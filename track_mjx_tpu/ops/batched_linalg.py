@@ -152,8 +152,8 @@ def _pad_batch(x, tile):
     return x, b
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _cholesky_tpu(a_bnn: jax.Array) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _cholesky_tpu(a_bnn: jax.Array, *, interpret: bool = False) -> jax.Array:
     """[B, n, n] -> [B, n, n] lower Cholesky via the lane-batched kernel."""
     b, n, _ = a_bnn.shape
     a = jnp.moveaxis(a_bnn, 0, -1)  # (n, n, B)
@@ -174,12 +174,15 @@ def _cholesky_tpu(a_bnn: jax.Array) -> jax.Array:
         # NOTE: no input_output_aliases — the kernel copies a_ref -> l_ref
         # itself, and custom-call aliasing interacted badly with the
         # trainer's donated buffers (TPU device faults mid-epoch)
+        interpret=interpret,
     )(a)
     return jnp.moveaxis(out[..., :b_orig], -1, 0)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _cho_solve_tpu(l_bnn: jax.Array, b_bn: jax.Array) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _cho_solve_tpu(
+    l_bnn: jax.Array, b_bn: jax.Array, *, interpret: bool = False
+) -> jax.Array:
     """Solves (L L^T) x = b for [B, n, n], [B, n] -> [B, n]."""
     b, n, _ = l_bnn.shape
     l = jnp.moveaxis(l_bnn, 0, -1)  # (n, n, B)
@@ -203,12 +206,15 @@ def _cho_solve_tpu(l_bnn: jax.Array, b_bn: jax.Array) -> jax.Array:
             (n, LANE_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[pltpu.VMEM((n, n, LANE_TILE), rhs.dtype)],
+        interpret=interpret,
     )(l, rhs)
     return jnp.moveaxis(out[:, :b_orig], -1, 0)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _solve_spd_tpu(a_bnn: jax.Array, b_bn: jax.Array) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _solve_spd_tpu(
+    a_bnn: jax.Array, b_bn: jax.Array, *, interpret: bool = False
+) -> jax.Array:
     """Solves A x = b for [B, n, n] SPD A, [B, n] b -> [B, n]."""
     b, n, _ = a_bnn.shape
     a = jnp.moveaxis(a_bnn, 0, -1)  # (n, n, B)
@@ -235,6 +241,7 @@ def _solve_spd_tpu(a_bnn: jax.Array, b_bn: jax.Array) -> jax.Array:
             pltpu.VMEM((n, n, LANE_TILE), rhs.dtype),  # L
             pltpu.VMEM((n, n, LANE_TILE), rhs.dtype),  # L^T
         ],
+        interpret=interpret,
     )(a, rhs)
     return jnp.moveaxis(out[:, :b_orig], -1, 0)
 

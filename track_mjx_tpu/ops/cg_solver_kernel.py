@@ -279,11 +279,18 @@ def _pad_tiles(x, tile):
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("iterations", "ls_iterations"))
+@functools.partial(
+    jax.jit, static_argnames=("iterations", "ls_iterations", "interpret")
+)
 def _cg_solve_tpu(
-    qm, j, aref, d, qfrc_smooth, warm, tol, *, iterations, ls_iterations
+    qm, j, aref, d, qfrc_smooth, warm, tol, *, iterations, ls_iterations,
+    interpret=False,
 ):
-    """Batch-first [B, ...] inputs -> (qacc_smooth, x, force, qfrc)."""
+    """Batch-first [B, ...] inputs -> (qacc_smooth, x, force, qfrc).
+
+    interpret=True runs the kernel through the Pallas interpreter (any
+    backend): the CPU test suite uses it to pin kernel numerics against the
+    unfused path (tests/test_cg_kernel_parity.py)."""
     bsz, n = qfrc_smooth.shape
     e = aref.shape[-1]
     dtype = qfrc_smooth.dtype
@@ -347,6 +354,7 @@ def _cg_solve_tpu(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT_BYTES
         ),
+        interpret=interpret,
     )(qm_nn, j_en, aref_e, d_e, qfrc_n, warm_n, tolscale_1)
 
     def unlane(t):  # (rows, tiles*T) -> (B, rows)
