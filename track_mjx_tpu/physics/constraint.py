@@ -105,11 +105,15 @@ def _kbi(
     mid = jnp.clip(mid, 0.0001, 0.9999)
     power = jnp.maximum(power, 1.0)
 
-    # standard (positive solref) vs direct (non-positive)
+    # standard (positive solref) vs direct (non-positive).
+    # C floors the time constant at 2*timestep (mj_assignRef): models whose
+    # solref[0] <= 2*dt (e.g. the fly: solref 2e-4 at dt 2e-4) otherwise get a
+    # 4x-stiffer contact than MuJoCo and launch on deep penetration.
+    tc_eff = jnp.maximum(timeconst, 2.0 * model.opt_timestep)
     k_std = 1.0 / jnp.maximum(
-        dmax * dmax * timeconst * timeconst * dampratio * dampratio, 1e-12
+        dmax * dmax * tc_eff * tc_eff * dampratio * dampratio, 1e-12
     )
-    b_std = 2.0 / jnp.maximum(dmax * timeconst, 1e-12)
+    b_std = 2.0 / jnp.maximum(dmax * tc_eff, 1e-12)
     k = jnp.where(timeconst > 0, k_std, -solref[..., 0])
     b = jnp.where(dampratio > 0, b_std, -solref[..., 1])
 
