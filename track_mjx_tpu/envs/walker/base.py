@@ -29,11 +29,14 @@ import mujoco
 
 from track_mjx_tpu.ops import quaternion as quat
 
-# Asset root: walkers ship no XML of their own; point this at a MuJoCo asset
-# tree (defaults to the read-only reference checkout's assets).
+# Asset root: the framework vendors every walker XML plus the small
+# rodent/stick assets in-package; the fly's large visual meshes are fetched
+# by tools/fetch_assets.py (sha256-manifest-verified) or generated as
+# placeholders (fly.ensure_fly_assets). TRACK_MJX_TPU_ASSETS overrides with
+# an external asset checkout.
 DEFAULT_ASSET_ROOT = os.environ.get(
     "TRACK_MJX_TPU_ASSETS",
-    "/root/reference/track_mjx/environment/walker/assets",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets"),
 )
 
 

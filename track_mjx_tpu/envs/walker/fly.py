@@ -19,11 +19,18 @@ from track_mjx_tpu.envs.walker.base import BaseWalker, DEFAULT_ASSET_ROOT
 
 _XML_PATH = "fruitfly/fruitfly_force_fast.xml"
 
-# A minimal valid OBJ (unit-ish cube) used for mesh files missing from the
-# asset checkout (the reference repo ships 6 fly meshes as MISSING_LARGE_BLOBS
-# placeholders). Visual fidelity and the small inertia contribution of those
-# geoms differ from the canonical fly; collision geoms are unaffected (the
-# fly's collision shapes are primitives).
+# A minimal valid OBJ (small cube, outward winding — MuJoCo derives mesh
+# inertia from the signed hull volume) used for mesh files missing from the
+# asset tree. The vendored package ships all fly XMLs but not the ~59 MB of
+# visual .obj meshes; tools/fetch_assets.py downloads the canonical ones
+# (sha256 manifest) and this fallback covers whatever is absent. Visual
+# fidelity and the meshes' modest inertia contribution differ from the
+# canonical fly (total mass +7% when ALL meshes are placeholders); collision
+# geoms are unaffected (the fly's collision shapes are primitives). NOTE: a
+# placeholder standing in for a STRUCTURAL mesh (one that defines a body's
+# only mass) can make that body's inertia numerically singular and fail the
+# compile — vendored assets_gz covers all such meshes, so placeholders only
+# ever cover upstream-missing visual pieces.
 _PLACEHOLDER_OBJ = """# placeholder mesh (missing from asset checkout)
 v -0.01 -0.01 -0.01
 v 0.01 -0.01 -0.01
@@ -33,24 +40,32 @@ v -0.01 -0.01 0.01
 v 0.01 -0.01 0.01
 v 0.01 0.01 0.01
 v -0.01 0.01 0.01
-f 1 2 3
-f 1 3 4
-f 5 7 6
-f 5 8 7
-f 1 6 2
-f 1 5 6
-f 2 7 3
-f 2 6 7
-f 3 8 4
-f 3 7 8
-f 4 5 1
-f 4 8 5
+f 1 3 2
+f 1 4 3
+f 5 6 7
+f 5 7 8
+f 1 2 6
+f 1 6 5
+f 2 3 7
+f 2 7 6
+f 3 4 8
+f 3 8 7
+f 4 1 5
+f 4 5 8
 """
 
 
 def ensure_fly_assets(asset_root: str) -> str:
     """Returns a usable fruitfly asset dir: the original if complete, else a
-    shadow dir of symlinks plus generated placeholder meshes."""
+    shadow dir of symlinks plus recovered meshes.
+
+    Missing meshes are resolved in priority order: (1) the gzipped canonical
+    meshes vendored in the package (assets_gz/ — the fly's MASS DISTRIBUTION
+    lives in its visual meshes: mesh geoms carry density 0.478 while the
+    collision primitives are density 0, so mesh fidelity is a physics
+    requirement, not cosmetics); (2) generated placeholder cubes (loud
+    warning — dynamics will differ)."""
+    import gzip
     import re
 
     src = Path(asset_root) / "fruitfly"
@@ -67,6 +82,8 @@ def ensure_fly_assets(asset_root: str) -> str:
     if not missing:
         return str(src)
 
+    vendored_gz = Path(__file__).resolve().parent / "assets" / "fruitfly" / "assets_gz"
+
     shadow = Path(
         os.environ.get(
             "TRACK_MJX_TPU_CACHE",
@@ -82,16 +99,26 @@ def ensure_fly_assets(asset_root: str) -> str:
         dst = shadow / "assets" / name
         if not dst.exists():
             dst.symlink_to(src / "assets" / name)
+    placeholders = []
     for name in missing:
         dst = shadow / "assets" / name
-        if not dst.exists():
+        if dst.exists():
+            continue
+        gz = vendored_gz / f"{name}.gz"
+        if gz.exists():
+            dst.write_bytes(gzip.decompress(gz.read_bytes()))
+        else:
             dst.write_text(_PLACEHOLDER_OBJ)
-    logging.warning(
-        "fly assets: generated %d placeholder meshes (%s) in %s",
-        len(missing),
-        ", ".join(sorted(missing)),
-        shadow,
-    )
+            placeholders.append(name)
+    if placeholders:
+        logging.warning(
+            "fly assets: generated %d placeholder meshes (%s) in %s — the "
+            "fly's mass distribution comes from its meshes; run "
+            "tools/fetch_assets.py for the canonical model",
+            len(placeholders),
+            ", ".join(sorted(placeholders)),
+            shadow,
+        )
     return str(shadow)
 
 
