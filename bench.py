@@ -306,6 +306,7 @@ def bench_trainer(
     use_lstm=False,
     episode_length=195,
     num_evals=4,
+    rollout_bf16=False,
 ):
     """training/sps from the real trainer (reference metric definition),
     epoch-chunked to respect single-device-call runtime bounds. Also captures
@@ -383,6 +384,7 @@ def bench_trainer(
         progress_fn=progress,
         epoch_steps_per_call=epoch_steps_per_call,
         profile_dir=profile_dir,
+        **({"rollout_bf16": True} if rollout_bf16 else {}),
     )
     # Sustained protocol (BASELINE.md measurement note): the first epoch
     # includes compile and the tunnel's warmup, so drop it and report the
@@ -424,6 +426,9 @@ def main():
                         "training-epoch device call into this directory "
                         "(phases appear as rollout/sgd/normalizer_update "
                         "named scopes)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 policy forward on the rollout hot path "
+                        "(f32 master params/normalizer/loss)")
     p.add_argument("--walker", choices=("rodent", "fly"), default="rodent",
                    help="workload: rodent-full-clips (default) or "
                         "fly-mc-intention scale")
@@ -478,6 +483,7 @@ def main():
             use_lstm=args.lstm,
             episode_length=episode_length,
             num_evals=args.num_evals,
+            rollout_bf16=args.bf16,
         )
 
     baseline = None
@@ -503,6 +509,7 @@ def main():
                     "batch_size": args.batch_size,
                     "num_minibatches": args.num_minibatches,
                     "walker": args.walker,
+                    "rollout_bf16": args.bf16,
                     "pipeline": "lstm" if args.lstm else "mlp",
                     "device": str(jax.devices()[0]),
                 },

@@ -266,14 +266,40 @@ def make_feedforward_intention_policy(
         key,
         deterministic: bool = False,
         get_activation: bool = False,
+        compute_dtype=None,
     ):
+        """compute_dtype: run the network body in this dtype (e.g. bf16 for
+        TPU rollout — the MXU's native precision) while the normalizer stays
+        f32 and every output is cast back to f32. Master params are untouched;
+        the per-apply cast is loop-invariant and hoisted out of unroll scans
+        by XLA."""
         obs = preprocess_observations_fn(obs, processor_params)
-        return module.apply(
+        if compute_dtype is None:
+            return module.apply(
+                policy_params,
+                obs=obs,
+                key=key,
+                deterministic=deterministic,
+                get_activation=get_activation,
+            )
+        lowp = jax.tree.map(
+            lambda x: x.astype(compute_dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
             policy_params,
-            obs=obs,
+        )
+        out = module.apply(
+            lowp,
+            obs=obs.astype(compute_dtype),
             key=key,
             deterministic=deterministic,
             get_activation=get_activation,
+        )
+        return jax.tree.map(
+            lambda x: x.astype(jnp.float32)
+            if jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            out,
         )
 
     probe_obs = jnp.zeros((1, total_obs_size))

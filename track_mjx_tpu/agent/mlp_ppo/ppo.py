@@ -116,6 +116,7 @@ def train(
     checkpoint_callback: Optional[Callable[[int], None]] = None,
     epoch_steps_per_call: Optional[int] = None,
     profile_dir: Optional[str] = None,
+    rollout_bf16: bool = False,
 ):
     """Trains an intention PPO policy; returns (make_policy, params, metrics)."""
     assert batch_size * num_minibatches % num_envs == 0, (
@@ -362,7 +363,10 @@ def train(
         key_sgd, key_generate_unroll, new_key = jax.random.split(key, 3)
 
         policy = make_policy(
-            (training_state.normalizer_params, training_state.params.policy)
+            (training_state.normalizer_params, training_state.params.policy),
+            # bf16 network body on the rollout hot path (MXU-native); the
+            # loss-side forward, normalizer, and master params stay f32
+            compute_dtype=jnp.bfloat16 if rollout_bf16 else None,
         )
 
         def f(carry, unused_t):

@@ -37,6 +37,7 @@ def make_inference_fn(ppo_networks: PPOImitationNetworks):
         params: types.PolicyParams,
         deterministic: bool = False,
         get_activation: bool = False,
+        compute_dtype=None,
     ) -> types.Policy:
         policy_network = ppo_networks.policy_network
         parametric_action_distribution = ppo_networks.parametric_action_distribution
@@ -54,11 +55,16 @@ def make_inference_fn(ppo_networks: PPOImitationNetworks):
                         key_network,
                         deterministic=deterministic,
                         get_activation=True,
+                        compute_dtype=compute_dtype,
                     )
                 )
             else:
                 logits, latent_mean, latent_logvar = policy_network.apply(
-                    *params, observations, key_network, deterministic=deterministic
+                    *params,
+                    observations,
+                    key_network,
+                    deterministic=deterministic,
+                    compute_dtype=compute_dtype,
                 )
             if deterministic:
                 extras = {
