@@ -52,14 +52,19 @@ class TestSoftwareRenderer:
         m = simple_model
         d = mujoco.MjData(m)
         r = SoftwareRenderer(m, height=64, width=64)
-        frames = []
-        for x in (0.0, 0.15):
-            m.body_pos[1, 0] = x
-            mujoco.mj_forward(m, d)
-            r.update_scene(d, camera="front")
-            frames.append(r.render())
-        assert not np.array_equal(frames[0], frames[1])
-        r.close()
+        orig_x = float(m.body_pos[1, 0])
+        try:
+            frames = []
+            for x in (0.0, 0.15):
+                m.body_pos[1, 0] = x
+                mujoco.mj_forward(m, d)
+                r.update_scene(d, camera="front")
+                frames.append(r.render())
+            assert not np.array_equal(frames[0], frames[1])
+        finally:
+            # simple_model is module-scoped: restore to keep tests order-free
+            m.body_pos[1, 0] = orig_x
+            r.close()
 
     def test_unknown_camera_raises(self, simple_model):
         r = SoftwareRenderer(simple_model, 32, 32)

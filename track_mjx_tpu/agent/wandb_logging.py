@@ -117,11 +117,8 @@ def render_ghost_video(
     scene_option,
 ) -> Optional[str]:
     """Renders rollout-vs-reference into the doubled (ghost-pair) model and
-    logs it; returns the video path, or None when no GL backend exists."""
-    if renderer is None:
-        logging.warning("No GL backend available; skipping rollout video render.")
-        return None
-
+    logs it; returns the video path. The renderer is never None — headless
+    hosts get the software rasterizer (analysis.render._make_renderer)."""
     import imageio
 
     from track_mjx_tpu.analysis.render import _mp4_writable

@@ -11,8 +11,9 @@ Also: ``render_rollout`` (frames from saved qposes, realtime fps =
 ``display_video`` notebook helper.
 
 Framework difference: mujoco.Renderer needs a GL backend; when none is
-available (headless TPU hosts without osmesa/EGL), renderer construction
-returns None and callers degrade to metrics-only logging.
+available (headless TPU hosts without osmesa/EGL), ``_make_renderer`` falls
+back to the CPU ``SoftwareRenderer`` (same update_scene/render API), so a
+renderer is always returned and video logging works everywhere.
 """
 
 from __future__ import annotations
@@ -186,10 +187,10 @@ def build_playback_model(
 
 def make_rollout_renderer(
     cfg: Any, render_ghost: bool = True
-) -> Tuple[
-    Optional[mujoco.Renderer], mujoco.MjModel, mujoco.MjData, mujoco.MjvOption
-]:
-    """Creates (renderer | None, model, data, scene options) for rollouts."""
+) -> Tuple[Any, mujoco.MjModel, mujoco.MjData, mujoco.MjvOption]:
+    """Creates (renderer, model, data, scene options) for rollouts. The
+    renderer is a ``mujoco.Renderer`` when GL exists, else the software
+    rasterizer — never None."""
     mj_model = build_playback_model(
         cfg["env_config"]["walker_name"],
         cfg["walker_config"]["rescale_factor"],

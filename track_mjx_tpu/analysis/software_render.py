@@ -57,6 +57,31 @@ _BOX_CORNERS = np.array(
 )
 
 
+def _clip_points_near(pts_cam: np.ndarray, near: float) -> np.ndarray:
+    """Clip a convex corner set (camera space, z = depth) to z >= near.
+
+    Points behind the near plane are replaced by the intersections of every
+    pairwise segment with the plane. Pairwise segments are a superset of the
+    hull's edges, so conv(front points + crossings) equals the true clipped
+    hull and the subsequent 2-D projection cannot smear behind-camera corners
+    across the screen (the failure mode of naive z-clamping, most visible on
+    the 20 m plane backdrop). Returns (M, 3); M == 0 if all behind."""
+    eps = near * 1.0001
+    front = pts_cam[:, 2] >= eps
+    if front.all():
+        return pts_cam
+    kept = [pts_cam[front]]
+    n = len(pts_cam)
+    for i in range(n):
+        zi = pts_cam[i, 2]
+        for j in range(i + 1, n):
+            zj = pts_cam[j, 2]
+            if (zi >= eps) != (zj >= eps):
+                t = (eps - zi) / (zj - zi)
+                kept.append((pts_cam[i] + t * (pts_cam[j] - pts_cam[i]))[None])
+    return np.concatenate(kept, axis=0)
+
+
 class SoftwareRenderer:
     """Rasterizes ``MjvScene`` abstract geoms without an OpenGL context.
 
@@ -123,20 +148,29 @@ class SoftwareRenderer:
     # -- camera ----------------------------------------------------------------
 
     def _mono_camera(self):
-        """Average the stereo mjvGLCamera pair into one mono eye + frustum."""
+        """Average the stereo mjvGLCamera pair into one mono eye + frustum
+        (pos, forward, up, and frustum fields all averaged across both eyes,
+        mirroring MuJoCo's own mono-camera reduction)."""
         c0, c1 = self._scene.camera[0], self._scene.camera[1]
         eye = (np.array(c0.pos) + np.array(c1.pos)) / 2
-        fwd = np.array(c0.forward, dtype=np.float64)
+        fwd = (
+            np.array(c0.forward, dtype=np.float64)
+            + np.array(c1.forward, dtype=np.float64)
+        ) / 2
         fwd /= np.linalg.norm(fwd)
-        up = np.array(c0.up, dtype=np.float64)
+        up = (
+            np.array(c0.up, dtype=np.float64) + np.array(c1.up, dtype=np.float64)
+        ) / 2
         up -= fwd * (up @ fwd)
         up /= np.linalg.norm(up)
         right = np.cross(fwd, up)
-        near = float(c0.frustum_near)
-        half_h = (float(c0.frustum_top) - float(c0.frustum_bottom)) / 2
-        cy = (float(c0.frustum_top) + float(c0.frustum_bottom)) / 2
+        near = (float(c0.frustum_near) + float(c1.frustum_near)) / 2
+        top = (float(c0.frustum_top) + float(c1.frustum_top)) / 2
+        bottom = (float(c0.frustum_bottom) + float(c1.frustum_bottom)) / 2
+        half_h = (top - bottom) / 2
+        cy = (top + bottom) / 2
         half_w = half_h * self.width / self.height
-        cx = float(c0.frustum_center)
+        cx = (float(c0.frustum_center) + float(c1.frustum_center)) / 2
         return eye, right, up, fwd, (near, half_w, half_h, cx, cy)
 
     def _to_screen(self, pts_cam: np.ndarray, frustum) -> np.ndarray:
@@ -177,8 +211,8 @@ class SoftwareRenderer:
                 corners = pos + (
                     _BOX_CORNERS[::2, :2] @ np.array([mat[:, 0], mat[:, 1]]) * ext
                 )
-                cc = cam_space(corners)
-                if np.all(cc[:, 2] <= near):
+                cc = _clip_points_near(cam_space(corners), near)
+                if len(cc) < 3:
                     continue
                 items.append((1e9, "hull", cc, rgba))
                 continue
@@ -200,10 +234,9 @@ class SoftwareRenderer:
             else:  # BOX, MESH, HFIELD: silhouette hull of bounding corners
                 half = np.where(size > 0, size, 1e-3)
                 corners = pos + (_BOX_CORNERS * half) @ mat.T
-                cc = cam_space(corners)
-                if np.all(cc[:, 2] <= near):
+                cc = _clip_points_near(cam_space(corners), near)
+                if len(cc) < 3:
                     continue
-                cc[:, 2] = np.maximum(cc[:, 2], near * 1.0001)
                 items.append((depth, "hull", cc, rgba))
         items.sort(key=lambda it: -it[0])
         return [(kind, payload, rgba) for _, kind, payload, rgba in items]
