@@ -16,11 +16,19 @@ preconditioned Polak-Ribiere CG steps each with a `ls_iterations` Newton
 linesearch, and the final force extraction — with J, L, L^T and all iterates
 resident in VMEM. The factor never exists in HBM.
 
-Scope: unilateral scalar rows only (joint limits + pyramidal friction — the
-rodent workload). Elliptic-cone models use the unfused path in
-physics/solver.py. Dispatch is via jax.custom_batching.custom_vmap like
-ops/batched_linalg.py: per-env solver code hits this kernel under vmap on
-TPU and a pure-jnp fallback elsewhere.
+Scope: two kernel variants share the design. `_cg_solve_tpu` handles
+unilateral scalar rows only (joint limits + pyramidal friction — the rodent
+workload). `_ell_cg_solve_tpu` additionally handles elliptic-cone contact
+blocks (cone="elliptic", condim 3 — the fly workload,
+fruitfly_force_fast.xml): the host wrapper permutes constraint rows into
+four 8-row-aligned sections [scalar | cone normals | tangent1 | tangent2]
+so every per-block cone computation (zones, projection, curvature) is a
+contiguous (ncon_ell, lanes) elementwise tile, and the safeguarded-Newton
+linesearch (bracketed, non-increase-checked — elliptic phi' is genuinely
+nonlinear between zone boundaries) is statically unrolled with float-mask
+arithmetic for the (1, lanes) bracket scalars. Dispatch for both is via
+jax.custom_batching.custom_vmap like ops/batched_linalg.py: per-env solver
+code hits the kernel under vmap on TPU and a pure-jnp fallback elsewhere.
 
 VMEM at (n=73, nefc=187, 128 lanes): J 7 MB + qM 2.7 MB per block,
 double-buffered by the pipeline (grid over 128-lane batch tiles), L and L^T
@@ -361,3 +369,417 @@ def _cg_solve_tpu(
         return jnp.moveaxis(t, 0, -1)[:bsz]
 
     return unlane(sm), unlane(xs), unlane(fs), unlane(qs)
+
+
+# ---------------------------------------------------------------------------
+# Elliptic-cone variant (scalar rows + condim-3 cone blocks — the fly).
+# ---------------------------------------------------------------------------
+
+_SUBLANE = 8  # f32 sublane tile; row sections are padded to this so every
+# static slice below is tile-aligned (unaligned second-minor slices force
+# Mosaic relayouts)
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def ell_kernel_available(n: int, ns: int, ncon_ell: int) -> bool:
+    if pltpu is None or jax.default_backend() != "tpu":
+        return False
+    e = _ceil_to(max(ns, 1), _SUBLANE) + 3 * _ceil_to(ncon_ell, _SUBLANE)
+    blocks = 2 * (e * n + n * n) * LANE_TILE * 4  # double-buffered
+    scratch = 2 * n * n * LANE_TILE * 4  # in-kernel L and L^T
+    temps = 2 * e * n * LANE_TILE * 4  # 3-D matvec products
+    small = (8 * e + 8 * n) * LANE_TILE * 4  # cone temporaries are (c, T)
+    return ncon_ell > 0 and blocks + scratch + temps + small <= _VMEM_BUDGET_BYTES
+
+
+def _ell_cg_kernel(
+    iterations: int,
+    ls_iterations: int,
+    ns: int,  # padded scalar-row count (multiple of 8)
+    c: int,  # padded cone-block count (multiple of 8)
+    qm_ref,
+    j_ref,
+    aref_ref,
+    d_ref,
+    mu_ref,
+    qfrc_smooth_ref,
+    warm_ref,
+    tolscale_ref,
+    x_ref,
+    force_ref,
+    qfrc_ref,
+    smooth_out_ref,
+    jar_ref,
+    grad_ref,
+    mgrad_ref,
+    p_ref,
+    imp_ref,
+    sol_ref,
+    l_ref,
+    lt_ref,
+):
+    """Row layout (host-permuted, see _ell_cg_solve_tpu): rows [0:ns] are
+    unilateral scalar rows, then three c-row sections holding every cone
+    block's normal / tangent1 / tangent2 row. Padding rows carry D == 0 (and
+    mu == 1), which zeroes their force, cost, and curvature contributions in
+    every zone, so the padded solve equals the unpadded one exactly."""
+    n = qm_ref.shape[0]
+    row_n = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+    col_n = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+    l_ref[:] = qm_ref[:]
+    factor_in_place(l_ref)
+    l_ref[:] = jnp.where(row_n >= col_n, l_ref[:], 0.0)
+    lt_ref[:] = jnp.swapaxes(l_ref[:], 0, 1)
+    k_n = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    aref = aref_ref[:]
+    d_rows = d_ref[:]
+    d_s = d_rows[:ns]
+    d_n, d_t1, d_t2 = d_rows[ns : ns + c], d_rows[ns + c : ns + 2 * c], d_rows[ns + 2 * c :]
+    sq_n, sq_t1, sq_t2 = jnp.sqrt(d_n), jnp.sqrt(d_t1), jnp.sqrt(d_t2)
+    mu = mu_ref[:]  # (c, T) effective cone coefficient mu_1 / sqrt(impratio)
+    mu2p1 = 1.0 + mu * mu
+
+    def matv_j(x):  # J @ x -> (e, T)
+        return jnp.sum(j_ref[:] * x[None, :, :], axis=1)
+
+    def matv_jt(f_s, f_n, f_t1, f_t2):  # J^T f -> (n, T), sectioned
+        return (
+            jnp.sum(j_ref[:ns] * f_s[:, None, :], axis=0)
+            + jnp.sum(j_ref[ns : ns + c] * f_n[:, None, :], axis=0)
+            + jnp.sum(j_ref[ns + c : ns + 2 * c] * f_t1[:, None, :], axis=0)
+            + jnp.sum(j_ref[ns + 2 * c :] * f_t2[:, None, :], axis=0)
+        )
+
+    def matv_m(v):  # M v, from the live qM block
+        # unlike the scalar kernel (which recomputes M v = L (L^T v) to keep
+        # qM out of VMEM), the elliptic variant keeps qM live: the fly's
+        # (n, n, T) block is <1 MB, and the direct product removes the one
+        # intentional numeric difference — the safeguarded linesearch's
+        # bracket branches (d1 < 0) are discretely sensitive to it
+        return jnp.sum(qm_ref[:] * v[None, :, :], axis=1)
+
+    def chosolve(b):
+        """(L L^T)^-1 b; result returned AND left in mgrad_ref (see the
+        scalar kernel's note on ref-resident substitution state)."""
+
+        def fwd(i, tok):
+            y = sol_ref[:]
+            r = l_ref[pl.ds(i, 1), :, :][0]
+            lii = jnp.sum(jnp.where(k_n == i, r, 0.0), axis=0)
+            bi = jnp.sum(jnp.where(k_n == i, b, 0.0), axis=0)
+            s = jnp.sum(jnp.where(k_n < i, r * y, 0.0), axis=0)
+            v = (bi - s) / lii
+            sol_ref[:] = jnp.where(k_n == i, v[None, :], y)
+            return tok
+
+        sol_ref[:] = jnp.zeros_like(b)
+        jax.lax.fori_loop(0, n, fwd, 0)
+
+        def bwd(t, tok):
+            i = n - 1 - t
+            x = mgrad_ref[:]
+            cc = lt_ref[pl.ds(i, 1), :, :][0]
+            lii = jnp.sum(jnp.where(k_n == i, cc, 0.0), axis=0)
+            yi = jnp.sum(jnp.where(k_n == i, sol_ref[:], 0.0), axis=0)
+            s = jnp.sum(jnp.where(k_n > i, cc * x, 0.0), axis=0)
+            v = (yi - s) / lii
+            mgrad_ref[:] = jnp.where(k_n == i, v[None, :], x)
+            return tok
+
+        mgrad_ref[:] = jnp.zeros_like(b)
+        jax.lax.fori_loop(0, n, bwd, 0)
+        return mgrad_ref[:]
+
+    smooth_out_ref[:] = chosolve(qfrc_smooth_ref[:])
+    smooth = smooth_out_ref[:]
+
+    def psum(x):  # reduce rows -> (1, T)
+        return jnp.sum(x, axis=0, keepdims=True)
+
+    def split(jar):
+        return jar[:ns], jar[ns : ns + c], jar[ns + c : ns + 2 * c], jar[ns + 2 * c :]
+
+    def zones(u_n, u_t1, u_t2):
+        """Cone zone geometry for block slices (each (c, T)). Mirrors
+        physics/solver.py _ell_zones in the sectioned layout."""
+        p_n = -sq_n * u_n
+        p_t1 = -sq_t1 * u_t1
+        p_t2 = -sq_t2 * u_t2
+        tt = p_t1 * p_t1 + p_t2 * p_t2
+        t = jnp.sqrt(jnp.maximum(tt, _EPS * _EPS))
+        bottom = mu * p_n >= t
+        top = p_n <= -mu * t
+        s_star = (p_n + mu * t) / mu2p1
+        return p_n, p_t1, p_t2, t, bottom, top, s_star
+
+    def force_blocks(u_n, u_t1, u_t2):
+        """Cone projection force per section (solver.py _force_blocks)."""
+        p_n, p_t1, p_t2, t, bottom, top, s_star = zones(u_n, u_t1, u_t2)
+        coef = mu * s_star / t
+        zero = jnp.zeros_like(u_n)
+        f_n = jnp.where(bottom, -d_n * u_n, jnp.where(top, zero, sq_n * s_star))
+        f_t1 = jnp.where(
+            bottom, -d_t1 * u_t1, jnp.where(top, zero, sq_t1 * coef * p_t1)
+        )
+        f_t2 = jnp.where(
+            bottom, -d_t2 * u_t2, jnp.where(top, zero, sq_t2 * coef * p_t2)
+        )
+        return f_n, f_t1, f_t2
+
+    def cost_rows(jar):  # constraint cost s(jar) -> (1, T)
+        jar_s, u_n, u_t1, u_t2 = split(jar)
+        cs = 0.5 * psum(jnp.where(jar_s < 0, d_s * jar_s * jar_s, 0.0))
+        p_n, p_t1, p_t2, t, bottom, top, s_star = zones(u_n, u_t1, u_t2)
+        quad = 0.5 * (p_n * p_n + p_t1 * p_t1 + p_t2 * p_t2)
+        mid = quad - 0.5 * (t - mu * p_n) ** 2 / mu2p1
+        zero = jnp.zeros_like(quad)
+        c_blk = jnp.where(bottom, quad, jnp.where(top, zero, mid))
+        return cs + psum(c_blk)
+
+    def cost(x):  # full objective -> (1, T)
+        dx = x - smooth
+        jar = matv_j(x) - aref
+        return 0.5 * psum(dx * matv_m(dx)) + cost_rows(jar)
+
+    def grad_of(x, jar):
+        jar_s, u_n, u_t1, u_t2 = split(jar)
+        f_s = jnp.where(jar_s < 0, -d_s * jar_s, 0.0)
+        f_n, f_t1, f_t2 = force_blocks(u_n, u_t1, u_t2)
+        return matv_m(x - smooth) - matv_jt(f_s, f_n, f_t1, f_t2)
+
+    warm = warm_ref[:]
+    take_warm = cost(warm) < cost(smooth)  # (1, T)
+    x0 = jnp.where(take_warm, warm, smooth)
+    jar0 = matv_j(x0) - aref
+    grad0 = grad_of(x0, jar0)
+    mgrad0 = chosolve(grad0)
+
+    big = jnp.asarray(jnp.finfo(aref.dtype).max, aref.dtype)
+
+    def linesearch(x, p):
+        """Safeguarded Newton on phi(alpha) (solver.py _linesearch, elliptic
+        branch): bracket [lo, hi] with phi'(lo) < 0 <= phi'(hi); Newton
+        candidates outside fall back to bisection (or geometric expansion
+        while no upper end is known); never accept a non-decreasing step.
+        Bracket state is (1, T) float-mask arithmetic, statically unrolled."""
+        mp = matv_m(p)
+        pmp = psum(p * mp)
+        dmx = psum(mp * (x - smooth))
+        jp = matv_j(p)
+        jarx = matv_j(x) - aref
+        jp_s, jp_n, jp_t1, jp_t2 = split(jp)
+        q_n = -sq_n * jp_n
+        q_t1 = -sq_t1 * jp_t1
+        q_t2 = -sq_t2 * jp_t2
+        qq = q_n * q_n + q_t1 * q_t1 + q_t2 * q_t2
+        qq_t = q_t1 * q_t1 + q_t2 * q_t2
+
+        def phi_derivs(alpha):
+            jar = jarx + alpha * jp
+            jar_s, u_n, u_t1, u_t2 = split(jar)
+            active = jar_s < 0
+            d1 = alpha * pmp + dmx + psum(
+                jnp.where(active, d_s * jar_s * jp_s, 0.0)
+            )
+            d2 = pmp + psum(jnp.where(active, d_s * jp_s * jp_s, 0.0))
+            f_n, f_t1, f_t2 = force_blocks(u_n, u_t1, u_t2)
+            d1 = d1 - psum(jp_n * f_n + jp_t1 * f_t1 + jp_t2 * f_t2)
+            p_n, p_t1, p_t2, t, bottom, top, s_star = zones(u_n, u_t1, u_t2)
+            t_p = (p_t1 * q_t1 + p_t2 * q_t2) / t
+            t_pp = jnp.maximum(qq_t - t_p * t_p, 0.0) / t
+            h_mid = qq - ((t_p - mu * q_n) ** 2 + (t - mu * p_n) * t_pp) / mu2p1
+            h_bot = d_n * jp_n * jp_n + d_t1 * jp_t1 * jp_t1 + d_t2 * jp_t2 * jp_t2
+            zero = jnp.zeros_like(h_mid)
+            d2 = d2 + psum(jnp.where(bottom, h_bot, jnp.where(top, zero, h_mid)))
+            return d1, jnp.maximum(d2, _EPS)
+
+        zero_s = jnp.zeros_like(pmp)
+        one_s = jnp.ones_like(pmp)
+        d1_0, d2_0 = phi_derivs(zero_s)
+        alpha = jnp.maximum(-d1_0 / d2_0, 0.0)
+        lo, hi = zero_s, jnp.full_like(pmp, big)
+        for _ in range(ls_iterations):
+            d1a, d2a = phi_derivs(alpha)
+            neg = jnp.where(d1a < 0, one_s, zero_s)
+            lo = neg * jnp.maximum(lo, alpha) + (1.0 - neg) * lo
+            hi = neg * hi + (1.0 - neg) * jnp.minimum(hi, alpha)
+            newton = alpha - d1a / d2a
+            bounded = jnp.where(hi < big, one_s, zero_s)
+            fallback = bounded * 0.5 * (lo + hi) + (1.0 - bounded) * (
+                2.0 * alpha + 1e-9
+            )
+            inside = jnp.where(newton > lo, one_s, zero_s) * jnp.where(
+                newton < hi, one_s, zero_s
+            )
+            alpha = inside * newton + (1.0 - inside) * fallback
+        dphi = (
+            0.5 * alpha * alpha * pmp
+            + alpha * dmx
+            + cost_rows(jarx + alpha * jp)
+            - cost_rows(jarx)
+        )
+        return jnp.where(dphi < 0, alpha, 0.0)
+
+    x_ref[:] = x0
+    jar_ref[:] = jar0
+    grad_ref[:] = grad0
+    mgrad_ref[:] = mgrad0
+    p_ref[:] = -mgrad0
+    imp_ref[:] = jnp.ones_like(imp_ref)
+
+    def iteration(_, tok):
+        x, p = x_ref[:], p_ref[:]
+        grad, mgrad = grad_ref[:], mgrad_ref[:]
+        alpha = linesearch(x, p) * imp_ref[:]
+        x = x + alpha * p
+        jar = matv_j(x) - aref
+        gradn = grad_of(x, jar)
+        mgradn = chosolve(gradn)
+        num = psum(gradn * (mgradn - mgrad))
+        den = jnp.maximum(psum(grad * mgrad), _EPS)
+        beta = jnp.maximum(0.0, num / den)
+        x_ref[:] = x
+        jar_ref[:] = jar
+        grad_ref[:] = gradn
+        mgrad_ref[:] = mgradn
+        p_ref[:] = -mgradn + beta * p
+        imp_ref[:] = imp_ref[:] * jnp.where(
+            jnp.sqrt(psum(gradn * gradn)) > tolscale_ref[:], 1.0, 0.0
+        ).astype(gradn.dtype)
+        return tok
+
+    jax.lax.fori_loop(0, iterations, iteration, 0)
+
+    jar_s, u_n, u_t1, u_t2 = split(jar_ref[:])
+    f_s = jnp.where(jar_s < 0, -d_s * jar_s, 0.0)
+    f_n, f_t1, f_t2 = force_blocks(u_n, u_t1, u_t2)
+    force_ref[:ns] = f_s
+    force_ref[ns : ns + c] = f_n
+    force_ref[ns + c : ns + 2 * c] = f_t1
+    force_ref[ns + 2 * c :] = f_t2
+    qfrc_ref[:] = matv_jt(f_s, f_n, f_t1, f_t2)
+
+
+@functools.lru_cache(maxsize=None)
+def _ell_layout(ns: int, ncon_ell: int):
+    """Static row permutation interleaved -> sectioned (+ padded sizes).
+
+    Input rows: [scalar x ns | cone blocks x ncon_ell of (normal, t1, t2)].
+    Output rows: [scalar pad ns_p | normals pad c_p | t1 pad c_p | t2 pad c_p]
+    with each section 8-row aligned; `gather` indexes input rows for each
+    output row (padding rows point at row 0 — their D is zeroed on the host
+    so they are inert), `scatter` maps each input row to its output slot."""
+    import numpy as np
+
+    ns_p = _ceil_to(max(ns, 1), _SUBLANE)
+    c_p = _ceil_to(ncon_ell, _SUBLANE)
+    e_p = ns_p + 3 * c_p
+    gather = np.zeros(e_p, dtype=np.int32)
+    pad_mask = np.ones(e_p, dtype=bool)
+    blocks = np.arange(ncon_ell, dtype=np.int32)
+    gather[:ns] = np.arange(ns, dtype=np.int32)
+    pad_mask[:ns] = False
+    for k in range(3):
+        s = ns_p + k * c_p
+        gather[s : s + ncon_ell] = ns + 3 * blocks + k
+        pad_mask[s : s + ncon_ell] = False
+    scatter = np.zeros(ns + 3 * ncon_ell, dtype=np.int32)
+    scatter[gather[~pad_mask]] = np.nonzero(~pad_mask)[0].astype(np.int32)
+    return ns_p, c_p, e_p, gather, pad_mask, scatter
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ns", "ncon_ell", "iterations", "ls_iterations", "interpret"),
+)
+def _ell_cg_solve_tpu(
+    qm, j, aref, d, mu, qfrc_smooth, warm, tol, *,
+    ns, ncon_ell, iterations, ls_iterations, interpret=False,
+):
+    """Batch-first [B, ...] inputs (interleaved row order, as assembled by
+    physics/constraint.py) -> (qacc_smooth, x, force, qfrc); `force` is
+    returned in the interleaved order. mu is (B, ncon_ell) — each block's
+    mu_1 / sqrt(impratio). interpret=True runs through the Pallas
+    interpreter for the CPU parity suite."""
+    bsz, n = qfrc_smooth.shape
+    dtype = qfrc_smooth.dtype
+    ns_p, c_p, e_p, gather, pad_mask, scatter = _ell_layout(ns, ncon_ell)
+    gather = jnp.asarray(gather)
+    keep = jnp.asarray(~pad_mask, dtype)  # (e_p,) 0 on padding rows
+
+    j_p = j[:, gather] * keep[None, :, None]
+    aref_p = aref[:, gather] * keep[None, :]
+    d_p = d[:, gather] * keep[None, :]  # D == 0 makes padding rows inert
+    mu_sec = jnp.pad(mu, ((0, 0), (0, c_p - ncon_ell)), constant_values=1.0)
+
+    qm_nn = _pad_tiles(jnp.moveaxis(qm, 0, -1), LANE_TILE)
+    j_en = _pad_tiles(jnp.moveaxis(j_p, 0, -1), LANE_TILE)
+    aref_e = _pad_tiles(jnp.moveaxis(aref_p, 0, -1), LANE_TILE)
+    d_e = _pad_tiles(jnp.moveaxis(d_p, 0, -1), LANE_TILE)
+    mu_c = _pad_tiles(jnp.moveaxis(mu_sec, 0, -1), LANE_TILE)
+    qfrc_n = _pad_tiles(jnp.moveaxis(qfrc_smooth, 0, -1), LANE_TILE)
+    warm_n = _pad_tiles(jnp.moveaxis(warm, 0, -1), LANE_TILE)
+    scale = jnp.maximum(
+        jnp.sum(jnp.diagonal(qm, axis1=1, axis2=2), axis=-1), _EPS
+    )
+    tolscale_1 = _pad_tiles((tol.astype(dtype) * scale)[None, :], LANE_TILE)
+    tiles = qm_nn.shape[-1] // LANE_TILE
+
+    kernel = functools.partial(
+        _ell_cg_kernel, iterations, ls_iterations, ns_p, c_p
+    )
+
+    def lanes(rows):
+        return pl.BlockSpec(
+            (rows, LANE_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+
+    def lanes3(a, b):
+        return pl.BlockSpec(
+            (a, b, LANE_TILE), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        )
+
+    xs, fs, qs, sm = pl.pallas_call(
+        kernel,
+        grid=(tiles,),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, tiles * LANE_TILE), dtype),
+            jax.ShapeDtypeStruct((e_p, tiles * LANE_TILE), dtype),
+            jax.ShapeDtypeStruct((n, tiles * LANE_TILE), dtype),
+            jax.ShapeDtypeStruct((n, tiles * LANE_TILE), dtype),
+        ),
+        in_specs=[
+            lanes3(n, n),  # qM
+            lanes3(e_p, n),  # J (sectioned)
+            lanes(e_p),  # aref
+            lanes(e_p),  # D
+            lanes(c_p),  # mu
+            lanes(n),  # qfrc_smooth
+            lanes(n),  # warmstart
+            lanes(1),  # tol * scale
+        ],
+        out_specs=(lanes(n), lanes(e_p), lanes(n), lanes(n)),
+        scratch_shapes=[
+            pltpu.VMEM((e_p, LANE_TILE), dtype),  # jar
+            pltpu.VMEM((n, LANE_TILE), dtype),  # grad
+            pltpu.VMEM((n, LANE_TILE), dtype),  # mgrad
+            pltpu.VMEM((n, LANE_TILE), dtype),  # p
+            pltpu.VMEM((1, LANE_TILE), dtype),  # improved mask
+            pltpu.VMEM((n, LANE_TILE), dtype),  # substitution state
+            pltpu.VMEM((n, n, LANE_TILE), dtype),  # L
+            pltpu.VMEM((n, n, LANE_TILE), dtype),  # L^T
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
+        interpret=interpret,
+    )(qm_nn, j_en, aref_e, d_e, mu_c, qfrc_n, warm_n, tolscale_1)
+
+    def unlane(t):  # (rows, tiles*T) -> (B, rows)
+        return jnp.moveaxis(t, 0, -1)[:bsz]
+
+    force = unlane(fs)[:, jnp.asarray(scatter)]  # back to interleaved order
+    return unlane(sm), unlane(xs), force, unlane(qs)

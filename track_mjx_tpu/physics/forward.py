@@ -41,9 +41,9 @@ def fwd_position(plan: PhysicsPlan, model: Model, data: Data):
     data = _com.com_pos(plan, model, data)
     data = _actuation.tendon(plan, model, data)
     data = _inertia.crb(plan, model, data)
-    if not _solver.fused_scalar_cg(plan):
-        # fused-CG plans never materialize qLD: the solve op factors qM
-        # in-kernel (solver.fused_scalar_cg)
+    if not _solver.fused_cg(plan):
+        # fused-CG plans (scalar or elliptic) never materialize qLD: the
+        # solve op factors qM in-kernel (solver.fused_cg)
         data = _inertia.factor_m(plan, model, data)
     data, contact = _collision.collide(plan, model, data)
     efc = _constraint.make_constraint(plan, model, data, contact)
@@ -63,7 +63,7 @@ def fwd_actuation(plan: PhysicsPlan, model: Model, data: Data) -> Data:
 
 def fwd_acceleration(plan: PhysicsPlan, model: Model, data: Data) -> Data:
     qfrc_smooth = data.qfrc_passive - data.qfrc_bias + data.qfrc_actuator
-    if _solver.fused_scalar_cg(plan):
+    if _solver.fused_cg(plan):
         # qacc_smooth is produced by the fused smooth+CG op in solve()
         return data.replace(qfrc_smooth=qfrc_smooth)
     qacc_smooth = _inertia.solve_m(data, qfrc_smooth)

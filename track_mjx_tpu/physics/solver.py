@@ -188,6 +188,26 @@ def fused_scalar_cg(plan: PhysicsPlan) -> bool:
     )
 
 
+def fused_elliptic_cg(plan: PhysicsPlan) -> bool:
+    """True when the model solves through the fused elliptic smooth+CG op:
+    CG solver, unilateral scalar rows plus elliptic cone blocks, no equality
+    or frictionloss rows (the fly workload, fruitfly_force_fast.xml). Same
+    contract as fused_scalar_cg: the op owns factorization and the
+    qacc_smooth solve; forward() skips factor_m/solve_m."""
+    return bool(
+        plan.nefc > 0
+        and plan.solver == 1
+        and plan.ncon_ell > 0
+        and not (plan.ne or plan.nf)
+    )
+
+
+def fused_cg(plan: PhysicsPlan) -> bool:
+    """Any fused whole-CG plan (scalar or elliptic): forward() must not
+    materialize qLD / qacc_smooth — the solve op produces them."""
+    return fused_scalar_cg(plan) or fused_elliptic_cg(plan)
+
+
 def _smooth_scalar_cg_single(
     iterations, ls_iterations, qm, j, aref, d, qfrc_smooth, warm, tol
 ):
@@ -233,6 +253,35 @@ def _make_scalar_cg_op(iterations: int, ls_iterations: int):
         return jax.vmap(plain)(*args), (True, True, True, True)
 
     return op
+
+
+class _PlanView(NamedTuple):
+    """Duck-typed stand-in for the PhysicsPlan fields the row-math helpers
+    read (_split / _force / _cost_rows / _linesearch), used by the fused
+    elliptic op's per-env path where no full plan is in scope."""
+
+    nefc: int
+    ncon_ell: int
+    ne: int
+    nf: int
+
+
+class _EfcView(NamedTuple):
+    """Duck-typed stand-in for the EfcData fields the helpers read."""
+
+    J: jax.Array
+    aref: jax.Array
+    D: jax.Array
+    fmin: jax.Array | None
+    fmax: jax.Array | None
+
+
+class _DataView(NamedTuple):
+    """Duck-typed stand-in for the Data fields the helpers read."""
+
+    qM: jax.Array
+    qacc_smooth: jax.Array
+    qLD: jax.Array
 
 
 class _EllConst(NamedTuple):
@@ -462,6 +511,100 @@ def _linesearch(
     return jnp.where(dphi < 0, alpha, 0.0)
 
 
+def _elliptic_cg_single(
+    iterations, ls_iterations, ncon_ell, qm, j, aref, d, mu_t, qfrc_smooth,
+    warm, tol,
+):
+    """One env's factor + smooth solve + elliptic CG
+    -> (qacc_smooth, x, force, qfrc).
+
+    The call sequence (cholesky -> cho_solve -> the elliptic CG loop below)
+    is exactly the pre-fusion forward flow (factor_m -> solve_m -> solve()'s
+    inline elliptic branch), so non-TPU numerics are unchanged."""
+    dtype = qfrc_smooth.dtype
+    qld = batched_linalg.cholesky(qm)
+    smooth = batched_linalg.cho_solve(qld, qfrc_smooth)
+    nefc, nv = j.shape
+    plan = _PlanView(nefc=nefc, ncon_ell=ncon_ell, ne=0, nf=0)
+    efc = _EfcView(J=j, aref=aref, D=d, fmin=None, fmax=None)
+    data = _DataView(qM=qm, qacc_smooth=smooth, qLD=qld)
+    d_blk = d[nefc - 3 * ncon_ell :].reshape(ncon_ell, 3)
+    ell = _EllConst(sqrt_d=jnp.sqrt(d_blk), mu_t=mu_t)
+
+    def cost(x):
+        dx = x - smooth
+        jar = j @ x - aref
+        return 0.5 * jnp.dot(dx, qm @ dx) + _cost_rows(plan, efc, ell, jar)
+
+    x0 = jnp.where(cost(warm) < cost(smooth), warm, smooth)
+    jar0, grad0 = _cost_grad(plan, efc, ell, data, x0)
+    mgrad0 = batched_linalg.cho_solve(qld, grad0)
+    state = _CGState(
+        x=x0, jar=jar0, grad=grad0, mgrad=mgrad0, p=-mgrad0,
+        improved=jnp.array(True),
+    )
+    meaninertia = jnp.mean(jnp.diag(qm))
+    scale = jnp.maximum(meaninertia * jnp.asarray(nv, dtype), _EPS)
+
+    def body(_, s):
+        alpha = _linesearch(plan, efc, ell, data, s.x, s.p, ls_iterations)
+        x = s.x + alpha * s.p
+        jar, grad = _cost_grad(plan, efc, ell, data, x)
+        mgrad = batched_linalg.cho_solve(qld, grad)
+        num = jnp.dot(grad, mgrad - s.mgrad)
+        den = jnp.maximum(jnp.dot(s.grad, s.mgrad), _EPS)
+        beta = jnp.maximum(0.0, num / den)
+        p = -mgrad + beta * s.p
+        improved = jnp.linalg.norm(grad) / scale > tol
+        new = _CGState(x=x, jar=jar, grad=grad, mgrad=mgrad, p=p, improved=improved)
+        return jax.tree.map(lambda a, b: jnp.where(s.improved, a, b), new, s)
+
+    state = jax.lax.fori_loop(0, iterations, body, state)
+    force = _force(plan, efc, ell, state.jar)
+    return smooth, state.x, force, j.T @ force
+
+
+@functools.lru_cache(maxsize=None)
+def _make_elliptic_cg_op(iterations: int, ls_iterations: int, ncon_ell: int):
+    plain = functools.partial(
+        _elliptic_cg_single, iterations, ls_iterations, ncon_ell
+    )
+
+    @jax.custom_batching.custom_vmap
+    def op(qm, j, aref, d, mu_t, qfrc_smooth, warm, tol):
+        return plain(qm, j, aref, d, mu_t, qfrc_smooth, warm, tol)
+
+    @op.def_vmap
+    def _vmap(axis_size, in_batched, qm, j, aref, d, mu_t, qfrc_smooth, warm, tol):
+        args = [qm, j, aref, d, mu_t, qfrc_smooth, warm, tol]
+        # mu_t and tol derive from model constants and may trace unbatched;
+        # the per-env state operands decide kernel dispatch
+        core = [in_batched[i] for i in (0, 1, 2, 3, 5, 6)]
+        n = qfrc_smooth.shape[-1]
+        nefc = aref.shape[-1]
+        ns = nefc - 3 * ncon_ell
+        if all(core) and cg_solver_kernel.ell_kernel_available(n, ns, ncon_ell):
+            mu_b = (
+                mu_t
+                if in_batched[4]
+                else jnp.broadcast_to(mu_t, (axis_size,) + jnp.shape(mu_t))
+            )
+            tol_scalar = tol[0] if in_batched[7] else tol
+            out = cg_solver_kernel._ell_cg_solve_tpu(
+                qm, j, aref, d, mu_b, qfrc_smooth, warm, tol_scalar,
+                ns=ns, ncon_ell=ncon_ell,
+                iterations=iterations, ls_iterations=ls_iterations,
+            )
+            return out, (True, True, True, True)
+        args = [
+            a if b else jnp.broadcast_to(a, (axis_size,) + jnp.shape(a))
+            for a, b in zip(args, in_batched)
+        ]
+        return jax.vmap(plain)(*args), (True, True, True, True)
+
+    return op
+
+
 class _NewtonState(NamedTuple):
     x: jax.Array  # qacc
     improved: jax.Array  # bool: keep iterating
@@ -599,6 +742,31 @@ def solve(
             efc.J,
             efc.aref,
             efc.D,
+            data.qfrc_smooth,
+            data.qacc_warmstart,
+            model.opt_tolerance,
+        )
+        return data.replace(
+            qacc_smooth=smooth.astype(dtype),
+            qacc=x,
+            qfrc_constraint=qfrc.astype(dtype),
+            efc_force=force.astype(dtype),
+        )
+
+    if not (plan.ne or plan.nf):
+        # fused elliptic plans (the fly): the op owns factorization and the
+        # smooth solve — forward() skipped factor_m/solve_m (fused_cg); on
+        # TPU the whole chain is one Pallas kernel per batch tile
+        mu_t = efc.ell_mu * jax.lax.rsqrt(jnp.maximum(model.opt_impratio, _EPS))
+        op = _make_elliptic_cg_op(
+            plan.iterations, plan.ls_iterations, plan.ncon_ell
+        )
+        smooth, x, force, qfrc = op(
+            data.qM,
+            efc.J,
+            efc.aref,
+            efc.D,
+            mu_t,
             data.qfrc_smooth,
             data.qacc_warmstart,
             model.opt_tolerance,
