@@ -164,6 +164,101 @@ class TestLSTMTraining:
         assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
 
 
+class TestBF16Rollout:
+    """rollout_bf16 runs the rollout policy forward in bf16 (intention.py
+    compute_dtype); loss/normalizer/master params stay f32. These smoke both
+    pipelines end-to-end and pin the output dtype contract."""
+
+    def test_mlp_bf16_trains_finite(self):
+        env = make_toy_env()
+        _, params, metrics = mlp_ppo.train(
+            environment=env,
+            num_timesteps=128,
+            episode_length=16,
+            ckpt_mgr=None,
+            config_dict=None,
+            num_envs=8,
+            num_eval_envs=4,
+            seed=0,
+            unroll_length=4,
+            batch_size=8,
+            num_minibatches=2,
+            num_updates_per_batch=1,
+            num_evals=2,
+            normalize_observations=True,
+            use_lstm=False,
+            network_factory=_tiny_network_factory,
+            rollout_bf16=True,
+        )
+        assert "training/sps" in metrics
+        leaves = jax.tree.leaves(params)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        # master params must remain f32 (only the per-apply cast is bf16)
+        assert all(
+            l.dtype == jnp.float32
+            for l in leaves
+            if jnp.issubdtype(l.dtype, jnp.floating)
+        )
+
+    def test_lstm_bf16_trains_finite(self):
+        from track_mjx_tpu.agent.lstm_ppo import ppo as lstm_ppo
+        from track_mjx_tpu.agent.lstm_ppo import ppo_networks as lstm_nets
+
+        env = make_toy_env()
+
+        def factory(*args, **kwargs):
+            kwargs.update(
+                intention_latent_size=8,
+                hidden_state_size=16,
+                hidden_layer_num=2,
+                encoder_hidden_layer_sizes=(32,),
+                decoder_hidden_layer_sizes=(32,),
+                value_hidden_layer_sizes=(32,),
+            )
+            return lstm_nets.make_intention_ppo_networks(*args, **kwargs)
+
+        _, params, metrics = lstm_ppo.train(
+            environment=env,
+            num_timesteps=128,
+            episode_length=16,
+            ckpt_mgr=None,
+            config_dict={
+                "network_config": {"hidden_state_size": 16, "hidden_layer_num": 2},
+                "env_config": {"render_interval": 10},
+            },
+            num_envs=8,
+            num_eval_envs=4,
+            seed=0,
+            unroll_length=4,
+            batch_size=8,
+            num_minibatches=2,
+            num_updates_per_batch=1,
+            num_evals=2,
+            normalize_observations=True,
+            network_factory=factory,
+            rollout_bf16=True,
+        )
+        assert "training/sps" in metrics
+        leaves = jax.tree.leaves(params)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+    def test_bf16_policy_output_is_f32(self, trained):
+        env, make_policy, params, *_ = trained
+        policy = make_policy(
+            (params[0], params[1]), compute_dtype=jnp.bfloat16
+        )
+        obs = jnp.zeros((3, env.observation_size))
+        acts, extras = policy(obs, jax.random.PRNGKey(0))
+        assert acts.dtype == jnp.float32
+        assert jnp.isfinite(acts).all()
+        # and numerically close to the f32 policy (bf16 has ~3 decimal digits)
+        policy32 = make_policy((params[0], params[1]))
+        acts32, _ = policy32(obs, jax.random.PRNGKey(0))
+        np.testing.assert_allclose(
+            np.asarray(acts), np.asarray(acts32), atol=0.05
+        )
+
+
 class TestPreemption:
     def _cfg(self, tmp_path):
         return {

@@ -242,6 +242,16 @@ class IntentionPolicy(nn.Module):
         return action, mean, logvar
 
 
+def _tree_cast(tree, dtype):
+    """Casts every floating leaf; int leaves (e.g. PRNG keys) pass through."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        tree,
+    )
+
+
 def make_feedforward_intention_policy(
     action_param_size: int,
     latent_size: int,
@@ -282,25 +292,14 @@ def make_feedforward_intention_policy(
                 deterministic=deterministic,
                 get_activation=get_activation,
             )
-        lowp = jax.tree.map(
-            lambda x: x.astype(compute_dtype)
-            if jnp.issubdtype(x.dtype, jnp.floating)
-            else x,
-            policy_params,
-        )
         out = module.apply(
-            lowp,
+            _tree_cast(policy_params, compute_dtype),
             obs=obs.astype(compute_dtype),
             key=key,
             deterministic=deterministic,
             get_activation=get_activation,
         )
-        return jax.tree.map(
-            lambda x: x.astype(jnp.float32)
-            if jnp.issubdtype(x.dtype, jnp.floating)
-            else x,
-            out,
-        )
+        return _tree_cast(out, jnp.float32)
 
     probe_obs = jnp.zeros((1, total_obs_size))
     probe_key = jax.random.PRNGKey(0)
@@ -332,16 +331,34 @@ def make_recurrent_intention_policy(
     )
 
     def apply(
-        processor_params, policy_params, obs, key, hidden_state, get_activation
+        processor_params,
+        policy_params,
+        obs,
+        key,
+        hidden_state,
+        get_activation,
+        compute_dtype=None,
     ):
+        """compute_dtype: as in make_feedforward_intention_policy — bf16
+        network body for TPU rollout; the LSTM carry is cast back to f32 on
+        the way out, so the recurrent state accumulates at full precision."""
         obs = preprocess_observations_fn(obs, processor_params)
-        return module.apply(
-            policy_params,
-            obs=obs,
+        if compute_dtype is None:
+            return module.apply(
+                policy_params,
+                obs=obs,
+                key=key,
+                hidden_state=hidden_state,
+                get_activation=get_activation,
+            )
+        out = module.apply(
+            _tree_cast(policy_params, compute_dtype),
+            obs=obs.astype(compute_dtype),
             key=key,
-            hidden_state=hidden_state,
+            hidden_state=_tree_cast(hidden_state, compute_dtype),
             get_activation=get_activation,
         )
+        return _tree_cast(out, jnp.float32)
 
     probe_obs = jnp.zeros((1, total_obs_size))
     probe_key = jax.random.PRNGKey(0)

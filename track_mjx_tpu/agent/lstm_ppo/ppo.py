@@ -104,6 +104,7 @@ def train(
     checkpoint_callback: Optional[Callable[[int], None]] = None,
     epoch_steps_per_call: Optional[int] = None,
     profile_dir: Optional[str] = None,
+    rollout_bf16: bool = False,
 ):
     """Trains an LSTM intention PPO policy."""
     del use_kl_schedule, kl_ramp_up_frac, freeze_decoder, eval_env_test_set
@@ -244,6 +245,10 @@ def train(
         policy = make_policy(
             params=(training_state.normalizer_params, training_state.params.policy),
             get_activation=get_activation,
+            # bf16 network body on the rollout hot path (MXU-native); the
+            # BPTT loss forward, normalizer, master params, and the carried
+            # LSTM hidden state stay f32
+            compute_dtype=jnp.bfloat16 if rollout_bf16 else None,
         )
 
         def f(carry, unused_t):

@@ -29,6 +29,7 @@ def make_inference_fn(ppo_networks: PPOImitationNetworks):
         params: types.PolicyParams,
         deterministic: bool = False,
         get_activation: bool = False,
+        compute_dtype=None,
     ):
         policy_network = ppo_networks.policy_network
         parametric_action_distribution = ppo_networks.parametric_action_distribution
@@ -52,6 +53,7 @@ def make_inference_fn(ppo_networks: PPOImitationNetworks):
                     key_network,
                     hidden_state,
                     get_activation=True,
+                    compute_dtype=compute_dtype,
                 )
             else:
                 logits, latent_mean, latent_logvar, new_hidden_state = (
@@ -61,6 +63,7 @@ def make_inference_fn(ppo_networks: PPOImitationNetworks):
                         key_network,
                         hidden_state,
                         get_activation=False,
+                        compute_dtype=compute_dtype,
                     )
                 )
                 activations = None
