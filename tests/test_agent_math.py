@@ -112,6 +112,27 @@ class TestRunningStatistics:
         )
         assert float(state.count) == 17
 
+    def test_constant_dim_never_nans(self):
+        """A (near-)constant dimension must keep std at the clip floor, not
+        NaN: Welford's cross-term sum can go slightly negative under f32
+        cancellation and an unclamped sqrt poisons the whole normalizer
+        (observed on contact-free envs with constant reference-obs dims;
+        the fix clamps summed_variance at 0)."""
+        state = running_statistics.init_state(
+            jax.ShapeDtypeStruct((3,), jnp.float32)
+        )
+        rng = np.random.RandomState(2)
+        for _ in range(20):
+            batch = rng.randn(16, 3).astype(np.float32)
+            batch[:, 0] = 7.125  # exactly constant dim
+            batch[:, 1] = 3.0 + rng.randn(16).astype(np.float32) * 1e-6
+            state = running_statistics.update(state, jnp.array(batch))
+        std = np.asarray(state.std)
+        sv = np.asarray(state.summed_variance)
+        assert np.isfinite(std).all(), std
+        assert (sv >= 0).all(), sv
+        assert std[0] == pytest.approx(1e-6)  # clip floor, not NaN
+
     def test_mask_freezes_dims(self):
         state = running_statistics.init_state(
             jax.ShapeDtypeStruct((4,), jnp.float32)

@@ -113,7 +113,13 @@ def update(
         variance_update = jnp.sum(variance_update, axis=tuple(batch_axis))
         if pmap_axis_name is not None:
             variance_update = jax.lax.psum(variance_update, axis_name=pmap_axis_name)
-        new_summed_variance = summed_variance + variance_update
+        # Welford's cross-term sum((x - old_mean)(x - new_mean)) is only
+        # non-negative in exact arithmetic; for a (near-)constant dimension
+        # f32 cancellation can drive the accumulator slightly negative and
+        # sqrt() below would poison std (and then every normalized obs) with
+        # NaN. Observed on contact-free toy envs whose reference obs carry
+        # constant dims.
+        new_summed_variance = jnp.maximum(summed_variance + variance_update, 0.0)
         return new_mean, new_summed_variance
 
     updated_mean, updated_summed_variance = _tree_unzip(

@@ -59,9 +59,19 @@ TOY_WALKER_XML = """
 
 
 class ToyWalker(BaseWalker):
-    """Minimal 10-dof walker for fast tests."""
+    """Minimal 10-dof walker for fast tests.
 
-    def __init__(self, reproduce_joint_index_quirk: bool = True):
+    contact=False removes the floor's collision bits: dynamics become smooth
+    articulated motion (limit rows still active, so the constraint solver
+    still runs). Contact dynamics amplify f32 reduction-order roundoff by
+    ~1e3 per few steps (measured), so cross-mesh equivalence checks need the
+    smooth variant to assert tight tolerances."""
+
+    def __init__(
+        self,
+        reproduce_joint_index_quirk: bool = True,
+        contact: bool = True,
+    ):
         self._torso_name = "torso"
         self.joint_names = ["hip_L", "knee_L", "hip_R", "knee_R"]
         self.body_names = ["torso", "leg_L", "foot_L", "leg_R", "foot_R"]
@@ -69,7 +79,13 @@ class ToyWalker(BaseWalker):
         self.torque_actuators = False
         self.rescale_factor = 1.0
         self.reproduce_joint_index_quirk = reproduce_joint_index_quirk
-        self._mj_spec = mujoco.MjSpec.from_string(TOY_WALKER_XML)
+        xml = TOY_WALKER_XML
+        if not contact:
+            xml = xml.replace(
+                'type="plane" size="2 2 0.1" contype="1" conaffinity="1"',
+                'type="plane" size="2 2 0.1" contype="0" conaffinity="0"',
+            )
+        self._mj_spec = mujoco.MjSpec.from_string(xml)
         self._mj_model = self._mj_spec.compile()
         self._initialize_indices()
 
@@ -127,9 +143,10 @@ def make_toy_env(
     mocap_hz: int = 50,
     physics_steps_per_control_step: int = 2,
     solver: str = "cg",
+    contact: bool = True,
 ):
     """Builds a small tracking env over synthetic clips."""
-    walker = ToyWalker()
+    walker = ToyWalker(contact=contact)
     clips = synthesize_clips(
         walker._mj_model,
         n_clips=n_clips,
