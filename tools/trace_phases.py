@@ -59,6 +59,42 @@ def main():
     print(f"device self time: {tot / 1e6:.2f}s across {len(dev)} op rows")
     for k, v in agg.most_common():
         print(f"  {v / 1e6:8.3f}s {100 * v / tot:5.1f}%  {k}")
+
+    # secondary breakdown: physics stage scopes inside rollout (named scopes
+    # added in physics/forward.py), plus the policy forward and the residual
+    # env-level obs/reward assembly
+    STAGES = (
+        "kinematics", "tendon", "crb", "collide", "make_constraint",
+        "com_vel", "passive", "rne", "actuation", "solve", "sensor",
+        "integrate",
+    )
+    stage_agg = collections.Counter()
+    stage_type = collections.Counter()
+    roll_tot = 0
+    for r in dev:
+        op, t = r["operation"], r["total_self_time"]
+        if "/rollout/" not in op:
+            continue
+        roll_tot += t
+        for s in STAGES:
+            if f"/{s}/" in op:
+                stage_agg[s] += t
+                stage_type[(s, r["type"])] += t
+                break
+        else:
+            if "IntentionPolicy" in op or "Value" in op.replace("value", "Value"):
+                stage_agg["policy_fwd"] += t
+                stage_type[("policy_fwd", r["type"])] += t
+            else:
+                stage_agg["env_other"] += t
+                stage_type[("env_other", r["type"])] += t
+    if stage_agg:
+        print(f"\nrollout breakdown by physics stage ({roll_tot / 1e6:.2f}s):")
+        for k, v in stage_agg.most_common():
+            print(f"  {v / 1e6:8.3f}s {100 * v / max(roll_tot, 1):5.1f}%  {k}")
+        print("\ntop (stage, op type):")
+        for (b, ty), v in sorted(stage_type.items(), key=lambda kv: -kv[1])[:25]:
+            print(f"  {v / 1e6:8.3f}s  {b:18s} {ty}")
     print("\ntop (phase, op type):")
     for (b, ty), v in sorted(typeagg.items(), key=lambda kv: -kv[1])[:20]:
         print(f"  {v / 1e6:8.3f}s  {b:18s} {ty}")

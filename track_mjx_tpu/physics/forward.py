@@ -37,23 +37,33 @@ from track_mjx_tpu.physics.model import (
 
 
 def fwd_position(plan: PhysicsPlan, model: Model, data: Data):
-    data = _kinematics.kinematics(plan, model, data)
-    data = _com.com_pos(plan, model, data)
-    data = _actuation.tendon(plan, model, data)
-    data = _inertia.crb(plan, model, data)
-    if not _solver.fused_cg(plan):
-        # fused-CG plans (scalar or elliptic) never materialize qLD: the
-        # solve op factors qM in-kernel (solver.fused_cg)
-        data = _inertia.factor_m(plan, model, data)
-    data, contact = _collision.collide(plan, model, data)
-    efc = _constraint.make_constraint(plan, model, data, contact)
+    # named scopes: per-stage device-time attribution in jax.profiler traces
+    # (tools/trace_phases.py buckets by these names)
+    with jax.named_scope("kinematics"):
+        data = _kinematics.kinematics(plan, model, data)
+        data = _com.com_pos(plan, model, data)
+    with jax.named_scope("tendon"):
+        data = _actuation.tendon(plan, model, data)
+    with jax.named_scope("crb"):
+        data = _inertia.crb(plan, model, data)
+        if not _solver.fused_cg(plan):
+            # fused-CG plans (scalar or elliptic) never materialize qLD: the
+            # solve op factors qM in-kernel (solver.fused_cg)
+            data = _inertia.factor_m(plan, model, data)
+    with jax.named_scope("collide"):
+        data, contact = _collision.collide(plan, model, data)
+    with jax.named_scope("make_constraint"):
+        efc = _constraint.make_constraint(plan, model, data, contact)
     return data, efc
 
 
 def fwd_velocity(plan: PhysicsPlan, model: Model, data: Data) -> Data:
-    data = _com.com_vel(plan, model, data)
-    data = _passive.passive(plan, model, data)
-    data = _rne.rne(plan, model, data)
+    with jax.named_scope("com_vel"):
+        data = _com.com_vel(plan, model, data)
+    with jax.named_scope("passive"):
+        data = _passive.passive(plan, model, data)
+    with jax.named_scope("rne"):
+        data = _rne.rne(plan, model, data)
     return data
 
 
@@ -81,10 +91,13 @@ def forward(plan: PhysicsPlan, model: Model, data: Data) -> Data:
     with jax.default_matmul_precision("highest"):
         data, efc = fwd_position(plan, model, data)
         data = fwd_velocity(plan, model, data)
-        data = fwd_actuation(plan, model, data)
-        data = fwd_acceleration(plan, model, data)
-        data = _solver.solve(plan, model, data, efc)
-        data = _sensors.sensor(plan, model, data)
+        with jax.named_scope("actuation"):
+            data = fwd_actuation(plan, model, data)
+            data = fwd_acceleration(plan, model, data)
+        with jax.named_scope("solve"):
+            data = _solver.solve(plan, model, data, efc)
+        with jax.named_scope("sensor"):
+            data = _sensors.sensor(plan, model, data)
     return data
 
 
@@ -156,7 +169,7 @@ def euler(plan: PhysicsPlan, model: Model, data: Data) -> Data:
             f"integrator {plan.integrator} not supported by euler(): use "
             "step(), which dispatches Euler/RK4/implicit/implicitfast"
         )
-    with jax.default_matmul_precision("highest"):
+    with jax.default_matmul_precision("highest"), jax.named_scope("integrate"):
         return _euler_impl(plan, model, data)
 
 
