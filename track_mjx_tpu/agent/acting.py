@@ -96,8 +96,16 @@ class EvalWrapper(Wrapper):
             nstate.info["steps"],
             state_metrics.episode_steps,
         )
+        # Sanitize each step's contribution: the env's NaN guard covers only
+        # reward/obs (reference parity, single_clip_tracking.py:287-293), so
+        # a physics blow-up leaves NaN/inf in the TERM metrics for the step
+        # on which done is forced — one poisoned step would otherwise turn
+        # the whole eval/episode_* aggregate NaN (diagnosed round 4; the
+        # `nan` metric still records the event itself).
         episode_metrics = jax.tree.map(
-            lambda a, b: a + b * state_metrics.active_episodes,
+            lambda a, b: a
+            + jp.nan_to_num(b, nan=0.0, posinf=0.0, neginf=0.0)
+            * state_metrics.active_episodes,
             state_metrics.episode_metrics,
             nstate.metrics,
         )

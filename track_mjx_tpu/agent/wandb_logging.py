@@ -78,14 +78,41 @@ def collect_rollout(
     return RolloutTrace(states, jp.stack(means), jp.stack(logvars))
 
 
+def _masked_stats(x: jp.ndarray, finite: jp.ndarray) -> tuple[jp.ndarray, jp.ndarray]:
+    """(mean, std) over axis 0 counting only frames where ``finite`` is True."""
+    w = finite[:, None]
+    n = jp.maximum(w.sum().astype(x.dtype), 1.0)
+    xz = jp.where(w, x, 0.0)  # where, not multiply: NaN * 0 is NaN
+    mean = xz.sum(axis=0) / n
+    var = jp.where(w, jp.square(xz - mean), 0.0).sum(axis=0) / n
+    return mean, jp.sqrt(var)
+
+
 def log_latent_statistics(trace: RolloutTrace) -> None:
-    """Per-latent-dimension mean/std of the intention distribution."""
+    """Per-latent-dimension mean/std of the intention distribution.
+
+    Frames with non-finite latents are excluded: the logging rollout keeps
+    stepping past done (full-clip parity, reference wandb_logging.py:30-171),
+    so after a mid-clip physics blow-up the remaining frames carry NaN
+    latents (nan_to_num leaves inf-magnitude obs at float-max, which
+    overflows inside the policy MLP — diagnosed round 4). Without masking
+    one bad frame turned ALL latents/* stats NaN. The excluded-frame count
+    is logged as latents/nonfinite_frames."""
+    finite = jp.all(
+        jp.isfinite(trace.latent_means) & jp.isfinite(trace.latent_logvars),
+        axis=1,
+    )
+    means_mean, means_std = _masked_stats(trace.latent_means, finite)
+    logvars_mean, logvars_std = _masked_stats(trace.latent_logvars, finite)
     stats = {
-        "latent_means_mean": jp.mean(trace.latent_means, axis=0).ravel(),
-        "latent_means_std": jp.std(trace.latent_means, axis=0).ravel(),
-        "latent_logvars_mean": jp.mean(trace.latent_logvars, axis=0).ravel(),
-        "latent_logvars_std": jp.std(trace.latent_logvars, axis=0).ravel(),
+        "latent_means_mean": means_mean.ravel(),
+        "latent_means_std": means_std.ravel(),
+        "latent_logvars_mean": logvars_mean.ravel(),
+        "latent_logvars_std": logvars_std.ravel(),
     }
+    wandb.log(
+        {"latents/nonfinite_frames": float(jp.sum(~finite))}, commit=False
+    )
     for i in range(stats["latent_means_mean"].shape[0]):
         wandb.log(
             {f"latents/{k}{i}": v[i] for k, v in stats.items()},
