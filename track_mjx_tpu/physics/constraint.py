@@ -57,11 +57,6 @@ def _mv(j: jax.Array, v: jax.Array) -> jax.Array:
     return jnp.sum(j * v, axis=-1)
 
 
-def _frame_project(jac: jax.Array, frame: jax.Array) -> jax.Array:
-    """einsum("cdk,cik->cid") as broadcast multiply-reduce (see _mv)."""
-    return jnp.sum(jac[:, None, :, :] * frame[:, :, None, :], axis=-1)
-
-
 @struct.dataclass
 class EfcData:
     """Dense constraint rows (nefc static).
@@ -461,22 +456,31 @@ def make_constraint(
         body_mask = jnp.asarray(_dof_body_mask(plan), dtype=dtype)
         diff_mask = body_mask[body2] - body_mask[body1]  # (ncon, nv)
 
-        # per-dof point jacobian at contact pos
+        # Frame-projected per-dof point jacobian at contact pos, computed
+        # WITHOUT the (ncon, nv, 3) jacp / (ncon, 3, nv, 3) product
+        # intermediates (round-4 trace: those materializations made this
+        # stage 28% of rollout device time). Triple-product identity:
+        #   frame . (v + w x (p - com)) = frame . (v - w x com)
+        #                               + (p x frame) . w
+        # so the projection is two (3*ncon, 3) @ (3, nv) contractions of
+        # trace-small operands.
         com = data.subtree_com[plan.body_rootid[plan.dof_bodyid]]  # (nv, 3)
         w, v = data.cdof[:, :3], data.cdof[:, 3:]
-        offset = contact.pos[:, None, :] - com[None, :, :]  # (ncon, nv, 3)
-        jacp = v[None] + jnp.cross(w[None], offset)  # (ncon, nv, 3)
-        jacp = jacp * diff_mask[:, :, None]
-
-        # project on frame directions: (ncon, 3, nv)
-        jfr = _frame_project(jacp, contact.frame)
+        s = v - jnp.cross(w, com)  # (nv, 3)
+        q = jnp.cross(contact.pos[:, None, :], contact.frame)  # (ncon, 3, 3)
+        jfr = (
+            jnp.einsum("cdk,ik->cdi", contact.frame, s)
+            + jnp.einsum("cdk,ik->cdi", q, w)
+        ) * diff_mask[:, None, :]  # (ncon, 3, nv)
         jn = jfr[:, 0]  # normal rows
         jt = jfr[:, 1:]  # (ncon, 2, nv)
         # rotational rows (torsional/rolling friction, condim 4/6): the
         # angular jacobian difference projected on the contact frame
         if plan.condim > 3:
-            jacr = w[None] * diff_mask[:, :, None]  # (ncon, nv, 3)
-            jrot = _frame_project(jacr, contact.frame)
+            jrot = (
+                jnp.einsum("cdk,ik->cdi", contact.frame, w)
+                * diff_mask[:, None, :]
+            )
             jdirs = jnp.concatenate([jt, jrot], axis=1)  # (ncon, 5, nv)
         else:
             jdirs = jt

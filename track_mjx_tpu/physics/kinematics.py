@@ -33,40 +33,67 @@ _v_normalize = jax.vmap(quat.normalize)
 _v_axis_angle = jax.vmap(quat.from_axis_angle)
 
 
+def _kin_schedule(plan: PhysicsPlan):
+    """Trace-time schedule: per tree level, groups of bodies sharing the same
+    joint-type signature, plus the static permutations that map the
+    level-order accumulation back to body/joint order.
+
+    This is what makes the kinematics scatter-free on TPU: every group is
+    processed as one dense vector op, levels are appended by concatenation,
+    and body/joint order is restored by ONE constant-index gather at the end
+    (round-4 trace: the previous per-level/per-slot `.at[].set` scheme spent
+    1.4s/28s of a training step in serialized scatters)."""
+    levels = []  # [ [ (body_ids, sig), ... ] per level ]
+    body_order = [0]
+    jnt_order = []
+    for ids in plan.body_levels:
+        sigs: dict = {}
+        for b in ids:
+            jn = int(plan.body_jntnum[b])
+            adr = int(plan.body_jntadr[b])
+            sig = tuple(int(plan.jnt_type[adr + k]) for k in range(jn))
+            sigs.setdefault(sig, []).append(int(b))
+        groups = []
+        for sig, bodies in sigs.items():
+            arr = np.asarray(bodies)
+            groups.append((arr, sig))
+            body_order.extend(bodies)
+            for k in range(len(sig)):
+                jnt_order.extend(plan.body_jntadr[arr] + k)
+        levels.append(groups)
+    body_inv = np.argsort(np.asarray(body_order))
+    jnt_inv = (
+        np.argsort(np.asarray(jnt_order)) if jnt_order else np.zeros(0, int)
+    )
+    pos_in_acc = np.zeros(plan.nbody, dtype=int)
+    pos_in_acc[np.asarray(body_order)] = np.arange(len(body_order))
+    return levels, pos_in_acc, body_inv, jnt_inv
+
+
 def kinematics(plan: PhysicsPlan, model: Model, data: Data) -> Data:
     """Computes xpos/xquat/xmat, xanchor/xaxis, geom/site frames from qpos."""
     qpos = data.qpos
-    nbody = plan.nbody
     dtype = qpos.dtype
 
-    xpos = jnp.zeros((nbody, 3), dtype=dtype)
-    xquat = jnp.tile(jnp.array([1.0, 0, 0, 0], dtype=dtype), (nbody, 1))
-    xanchor = jnp.zeros((plan.njnt, 3), dtype=dtype)
-    xaxis = jnp.zeros((plan.njnt, 3), dtype=dtype)
+    levels, pos_in_acc, body_inv, jnt_inv = _kin_schedule(plan)
 
-    for ids in plan.body_levels:
-        parents = plan.body_parentid[ids]
-        p_pos = xpos[parents]
-        p_quat = xquat[parents]
-        b_pos = p_pos + _v_rotate(model.body_pos[ids], p_quat)
-        b_quat = _v_mul(p_quat, model.body_quat[ids])
+    # accumulated results in level order; row 0 = world
+    cat_pos = jnp.zeros((1, 3), dtype=dtype)
+    cat_quat = jnp.array([[1.0, 0, 0, 0]], dtype=dtype)
+    anchor_parts, axis_parts = [], []
 
-        max_jnt = int(plan.body_jntnum[ids].max()) if len(ids) else 0
-        for k in range(max_jnt):
-            active = plan.body_jntnum[ids] > k
-            act_ids = ids[active]
-            jids = plan.body_jntadr[act_ids] + k
-            # partition by joint type at trace time
-            for jt in (JNT_FREE, JNT_BALL, JNT_SLIDE, JNT_HINGE):
-                sel = plan.jnt_type[jids] == jt
-                if not sel.any():
-                    continue
-                j_sel = jids[sel]
-                # local (within-level) body indices for the scatter
-                lsel = np.nonzero(active)[0][sel]
+    for groups in levels:
+        level_pos, level_quat = [], []
+        for ids, sig in groups:
+            parents = pos_in_acc[plan.body_parentid[ids]]
+            p_pos = cat_pos[parents]
+            p_quat = cat_quat[parents]
+            b_pos = p_pos + _v_rotate(model.body_pos[ids], p_quat)
+            b_quat = _v_mul(p_quat, model.body_quat[ids])
+
+            for k, jt in enumerate(sig):
+                j_sel = plan.body_jntadr[ids] + k
                 qadr = plan.jnt_qposadr[j_sel]
-                cur_pos = b_pos[lsel]
-                cur_quat = b_quat[lsel]
 
                 if jt == JNT_FREE:
                     new_pos = qpos[qadr[:, None] + np.arange(3)[None]]
@@ -76,35 +103,45 @@ def kinematics(plan: PhysicsPlan, model: Model, data: Data) -> Data:
                     anchor = new_pos
                     axis = model.jnt_axis[j_sel]  # free joint axis unused
                 else:
-                    anchor = cur_pos + _v_rotate(model.jnt_pos[j_sel], cur_quat)
-                    axis = _v_rotate(model.jnt_axis[j_sel], cur_quat)
+                    anchor = b_pos + _v_rotate(model.jnt_pos[j_sel], b_quat)
+                    axis = _v_rotate(model.jnt_axis[j_sel], b_quat)
                     if jt == JNT_SLIDE:
                         disp = (qpos[qadr] - model.qpos0[qadr])[:, None]
-                        new_pos = cur_pos + axis * disp
-                        new_quat = cur_quat
+                        new_pos = b_pos + axis * disp
+                        new_quat = b_quat
                     elif jt == JNT_BALL:
                         qloc = _v_normalize(
                             qpos[qadr[:, None] + np.arange(4)[None]]
                         )
-                        new_quat = _v_mul(cur_quat, qloc)
+                        new_quat = _v_mul(b_quat, qloc)
                         new_pos = anchor - _v_rotate(
                             model.jnt_pos[j_sel], new_quat
                         )
                     else:  # hinge
                         angle = qpos[qadr] - model.qpos0[qadr]
                         qloc = _v_axis_angle(model.jnt_axis[j_sel], angle)
-                        new_quat = _v_mul(cur_quat, qloc)
+                        new_quat = _v_mul(b_quat, qloc)
                         new_pos = anchor - _v_rotate(
                             model.jnt_pos[j_sel], new_quat
                         )
 
-                b_pos = b_pos.at[lsel].set(new_pos)
-                b_quat = b_quat.at[lsel].set(new_quat)
-                xanchor = xanchor.at[j_sel].set(anchor)
-                xaxis = xaxis.at[j_sel].set(axis)
+                b_pos, b_quat = new_pos, new_quat
+                anchor_parts.append(anchor)
+                axis_parts.append(axis)
 
-        xpos = xpos.at[ids].set(b_pos)
-        xquat = xquat.at[ids].set(_v_normalize(b_quat))
+            level_pos.append(b_pos)
+            level_quat.append(_v_normalize(b_quat))
+        cat_pos = jnp.concatenate([cat_pos] + level_pos)
+        cat_quat = jnp.concatenate([cat_quat] + level_quat)
+
+    xpos = cat_pos[body_inv]
+    xquat = cat_quat[body_inv]
+    if anchor_parts:
+        xanchor = jnp.concatenate(anchor_parts)[jnt_inv]
+        xaxis = jnp.concatenate(axis_parts)[jnt_inv]
+    else:
+        xanchor = jnp.zeros((plan.njnt, 3), dtype=dtype)
+        xaxis = jnp.zeros((plan.njnt, 3), dtype=dtype)
 
     xmat = _v_to_mat(xquat)
 
