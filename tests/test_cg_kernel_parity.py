@@ -79,7 +79,7 @@ def test_whole_cg_kernel_matches_unfused(cg_rodent):
 
     ref = jax.vmap(
         lambda QM, J, A, D, F, W: solver_mod._smooth_scalar_cg_single(
-            _ITERS, _LS_ITERS, QM, J, A, D, F, W, tol
+            _ITERS, _LS_ITERS, False, QM, J, A, D, F, W, tol, None
         )
     )(qm, j, aref, d_rows, qfrc, warm)
     # contact-rich sanity: every env must have active constraint rows
@@ -118,7 +118,7 @@ def test_cg_kernel_tolerance_freeze(cg_rodent):
 
     ref = jax.vmap(
         lambda QM, J, A, D, F, W: solver_mod._smooth_scalar_cg_single(
-            _ITERS, _LS_ITERS, QM, J, A, D, F, W, tol
+            _ITERS, _LS_ITERS, False, QM, J, A, D, F, W, tol, None
         )
     )(qm, j, aref, d_rows, qfrc, warm)
     out = cg_solver_kernel._cg_solve_tpu(
@@ -417,3 +417,36 @@ def test_elliptic_cg_kernel_zone_coverage(cg_fly):
     assert seen["bottom"], "no block in the static-friction zone"
     assert seen["top"], "no block in the separating zone"
     assert seen["mid"], "no block in the sliding zone"
+
+
+def test_cg_kernel_fused_euler_solve(cg_rodent):
+    """The in-kernel Euler implicit-damping solve (qacc_eff output, round-4
+    fusion) must match the unfused cholesky(M + h diag(damping)) +
+    substitution sequence the integrator previously dispatched."""
+    m, plan, model = cg_rodent
+    qm, j, aref, d_rows, qfrc, warm = _solver_inputs(m, plan, model)
+    tol = jnp.asarray(m.opt.tolerance, jnp.float32)
+    hd1 = jnp.asarray(m.opt.timestep * m.dof_damping, jnp.float32)
+    hd = jnp.broadcast_to(hd1, (qm.shape[0],) + hd1.shape)
+    assert float(jnp.max(hd)) > 0, "fixture must have damped dofs"
+
+    ref = jax.vmap(
+        lambda QM, J, A, D, F, W, HD: solver_mod._smooth_scalar_cg_single(
+            _ITERS, _LS_ITERS, True, QM, J, A, D, F, W, tol, HD
+        )
+    )(qm, j, aref, d_rows, qfrc, warm, hd)
+    out = cg_solver_kernel._cg_solve_tpu(
+        qm, j, aref, d_rows, qfrc, warm, tol, hd=hd,
+        iterations=_ITERS, ls_iterations=_LS_ITERS, interpret=True,
+    )
+    assert len(out) == 5 and len(ref) == 5
+    a = np.asarray(out[4], np.float64)
+    b = np.asarray(ref[4], np.float64)
+    err = np.abs(a - b).max() / max(1.0, np.abs(b).max())
+    assert err < 1e-4, f"qacc_eff rel err {err:.2e}"
+    # the CG outputs must be untouched by the extra solve
+    for name, x, y in zip(("smooth", "x", "force", "qfrc"), out[:4], ref[:4]):
+        e = np.abs(np.asarray(x, np.float64) - np.asarray(y, np.float64)).max() / max(
+            1.0, np.abs(np.asarray(y)).max()
+        )
+        assert e < 1e-3, f"{name} rel err {e:.2e}"

@@ -82,6 +82,7 @@ def kernel_available(n: int, nefc: int) -> bool:
 def _cg_kernel(
     iterations: int,
     ls_iterations: int,
+    with_euler: bool,
     qm_ref,
     j_ref,
     aref_ref,
@@ -89,10 +90,12 @@ def _cg_kernel(
     qfrc_smooth_ref,
     warm_ref,
     tolscale_ref,
+    hd_ref,
     x_ref,
     force_ref,
     qfrc_ref,
     smooth_out_ref,
+    eff_ref,
     jar_ref,
     grad_ref,
     mgrad_ref,
@@ -276,7 +279,25 @@ def _cg_kernel(
 
     force = force_of(jar_ref[:])
     force_ref[:] = force
-    qfrc_ref[:] = matv_jt(force)
+    qfrc = matv_jt(force)
+    qfrc_ref[:] = qfrc
+
+    if with_euler:
+        # Euler implicit-damping solve in the same invocation: refactor
+        # (M + h diag(damping)) reusing the L/L^T scratch (the CG loop is
+        # done with the M factor) and solve for qacc_eff. This removes the
+        # integrator's separate solve-SPD dispatch, its re-read of qM from
+        # HBM, and the XLA materialization of the shifted matrix (round-4
+        # trace: 2.2s/28s of a training step in the `integrate` stage).
+        l_ref[:] = qm_ref[:] + jnp.where(
+            row_n == col_n, hd_ref[:][:, None, :], 0.0
+        )
+        factor_in_place(l_ref)
+        l_ref[:] = jnp.where(row_n >= col_n, l_ref[:], 0.0)
+        lt_ref[:] = jnp.swapaxes(l_ref[:], 0, 1)
+        eff_ref[:] = chosolve(qfrc_smooth_ref[:] + qfrc)
+    else:
+        eff_ref[:] = jnp.zeros_like(qfrc)
 
 
 def _pad_tiles(x, tile):
@@ -291,10 +312,14 @@ def _pad_tiles(x, tile):
     jax.jit, static_argnames=("iterations", "ls_iterations", "interpret")
 )
 def _cg_solve_tpu(
-    qm, j, aref, d, qfrc_smooth, warm, tol, *, iterations, ls_iterations,
-    interpret=False,
+    qm, j, aref, d, qfrc_smooth, warm, tol, hd=None, *, iterations,
+    ls_iterations, interpret=False,
 ):
-    """Batch-first [B, ...] inputs -> (qacc_smooth, x, force, qfrc).
+    """Batch-first [B, ...] inputs -> (qacc_smooth, x, force, qfrc[, qacc_eff]).
+
+    With `hd` (B, n) = timestep * dof_damping, the kernel additionally
+    returns qacc_eff = (M + diag(hd))^-1 (qfrc_smooth + qfrc) — the Euler
+    integrator's implicit-damping solve, fused so qM never re-enters HBM.
 
     interpret=True runs the kernel through the Pallas interpreter (any
     backend): the CPU test suite uses it to pin kernel numerics against the
@@ -318,7 +343,15 @@ def _cg_solve_tpu(
     tolscale_1 = _pad_tiles(tolscale[None, :].astype(dtype), LANE_TILE)
     tiles = qm_nn.shape[-1] // LANE_TILE
 
-    kernel = functools.partial(_cg_kernel, iterations, ls_iterations)
+    with_euler = hd is not None
+    hd_n = _pad_tiles(
+        jnp.moveaxis(
+            hd if with_euler else jnp.zeros_like(qfrc_smooth), 0, -1
+        ),
+        LANE_TILE,
+    )
+
+    kernel = functools.partial(_cg_kernel, iterations, ls_iterations, with_euler)
 
     def lanes(rows):  # per-tile lane block of a (rows, B) operand
         return pl.BlockSpec(
@@ -330,12 +363,13 @@ def _cg_solve_tpu(
             (a, b, LANE_TILE), lambda i: (0, 0, i), memory_space=pltpu.VMEM
         )
 
-    xs, fs, qs, sm = pl.pallas_call(
+    xs, fs, qs, sm, eff = pl.pallas_call(
         kernel,
         grid=(tiles,),
         out_shape=(
             jax.ShapeDtypeStruct((n, tiles * LANE_TILE), dtype),
             jax.ShapeDtypeStruct((e, tiles * LANE_TILE), dtype),
+            jax.ShapeDtypeStruct((n, tiles * LANE_TILE), dtype),
             jax.ShapeDtypeStruct((n, tiles * LANE_TILE), dtype),
             jax.ShapeDtypeStruct((n, tiles * LANE_TILE), dtype),
         ),
@@ -347,8 +381,9 @@ def _cg_solve_tpu(
             lanes(n),  # qfrc_smooth
             lanes(n),  # warmstart
             lanes(1),  # tol * scale
+            lanes(n),  # h * dof_damping (euler shift)
         ],
-        out_specs=(lanes(n), lanes(e), lanes(n), lanes(n)),
+        out_specs=(lanes(n), lanes(e), lanes(n), lanes(n), lanes(n)),
         scratch_shapes=[
             pltpu.VMEM((e, LANE_TILE), dtype),  # jar
             pltpu.VMEM((n, LANE_TILE), dtype),  # grad
@@ -363,11 +398,13 @@ def _cg_solve_tpu(
             vmem_limit_bytes=_VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
-    )(qm_nn, j_en, aref_e, d_e, qfrc_n, warm_n, tolscale_1)
+    )(qm_nn, j_en, aref_e, d_e, qfrc_n, warm_n, tolscale_1, hd_n)
 
     def unlane(t):  # (rows, tiles*T) -> (B, rows)
         return jnp.moveaxis(t, 0, -1)[:bsz]
 
+    if with_euler:
+        return unlane(sm), unlane(xs), unlane(fs), unlane(qs), unlane(eff)
     return unlane(sm), unlane(xs), unlane(fs), unlane(qs)
 
 

@@ -178,14 +178,19 @@ def _euler_impl(plan: PhysicsPlan, model: Model, data: Data) -> Data:
     # implicit damping: qvel_new = qvel + h * (M + h D)^-1 qfrc_total
     # (C uses the raw force, not M @ qacc — they differ when the CG solve is
     # inexact, and matching C here is what keeps trajectories aligned)
-    from track_mjx_tpu.ops import batched_linalg
+    if _solver.fused_euler(plan):
+        # the fused CG kernel already performed this solve in the same
+        # invocation (qM never re-entered HBM) — see solver.fused_euler
+        qacc_eff = data.qacc_eff
+    else:
+        from track_mjx_tpu.ops import batched_linalg
 
-    mh = data.qM + dt * jnp.diag(model.dof_damping)
-    rhs = data.qfrc_smooth + data.qfrc_constraint
-    # factor + substitution in one fused kernel on TPU (the (M + h D) factor
-    # never round-trips through HBM); CPU numerics identical to
-    # cholesky-then-cho_solve
-    qacc_eff = batched_linalg.solve_spd(mh, rhs)
+        mh = data.qM + dt * jnp.diag(model.dof_damping)
+        rhs = data.qfrc_smooth + data.qfrc_constraint
+        # factor + substitution in one fused kernel on TPU (the (M + h D)
+        # factor never round-trips through HBM); CPU numerics identical to
+        # cholesky-then-cho_solve
+        qacc_eff = batched_linalg.solve_spd(mh, rhs)
 
     act = _advance_act(plan, model, data, dt)
     qvel = data.qvel + dt * qacc_eff

@@ -258,6 +258,11 @@ class Data:
     qfrc_actuator: jax.Array
     qfrc_smooth: jax.Array
     qfrc_constraint: jax.Array
+    # Euler implicit-damping solve (M + h diag(damping))^-1 (qfrc_smooth +
+    # qfrc_constraint), produced by the fused CG kernel when the plan
+    # integrates with Euler (solver.fused_euler) so the integrator needs no
+    # second factorization dispatch; zeros otherwise.
+    qacc_eff: jax.Array
     # actuation
     act_dot: jax.Array
     actuator_length: jax.Array
@@ -693,6 +698,7 @@ def make_data(plan: PhysicsPlan, model: Model) -> Data:
         qfrc_spring=z(nv),
         qfrc_damper=z(nv),
         qfrc_actuator=z(nv),
+        qacc_eff=z(nv),
         qfrc_smooth=z(nv),
         qfrc_constraint=z(nv),
         act_dot=z(plan.na),

@@ -208,49 +208,74 @@ def fused_cg(plan: PhysicsPlan) -> bool:
     return fused_scalar_cg(plan) or fused_elliptic_cg(plan)
 
 
+def fused_euler(plan: PhysicsPlan) -> bool:
+    """True when the fused scalar CG op also performs the Euler integrator's
+    implicit-damping solve (M + h diag(damping))^-1 in the same kernel
+    invocation, exported as data.qacc_eff — forward.euler() must consume it
+    instead of dispatching a second factorization."""
+    return fused_scalar_cg(plan) and plan.integrator == 0  # forward.INT_EULER
+
+
 def _smooth_scalar_cg_single(
-    iterations, ls_iterations, qm, j, aref, d, qfrc_smooth, warm, tol
+    iterations, ls_iterations, with_euler, qm, j, aref, d, qfrc_smooth, warm,
+    tol, hd
 ):
-    """One env's factor + smooth solve + CG -> (qacc_smooth, x, force, qfrc).
+    """One env's factor + smooth solve + CG -> (qacc_smooth, x, force, qfrc
+    [, qacc_eff]).
 
     The call sequence (cholesky -> cho_solve -> _scalar_cg_single) is exactly
-    the pre-fusion forward flow, so non-TPU numerics are unchanged."""
+    the pre-fusion forward flow, so non-TPU numerics are unchanged; the
+    optional Euler solve matches forward._euler_impl's former
+    solve_spd(qM + diag(hd), rhs) factor-then-substitute sequence."""
     qld = batched_linalg.cholesky(qm)
     smooth = batched_linalg.cho_solve(qld, qfrc_smooth)
     x, force, qfrc = _scalar_cg_single(
         iterations, ls_iterations, qm, qld, j, aref, d, smooth, warm, tol
     )
-    return smooth, x, force, qfrc
+    if not with_euler:
+        return smooth, x, force, qfrc
+    mh = qm + jnp.diag(hd)
+    eff = batched_linalg.cho_solve(
+        batched_linalg.cholesky(mh), qfrc_smooth + qfrc
+    )
+    return smooth, x, force, qfrc, eff
 
 
 @functools.lru_cache(maxsize=None)
-def _make_scalar_cg_op(iterations: int, ls_iterations: int):
+def _make_scalar_cg_op(iterations: int, ls_iterations: int, with_euler: bool):
     plain = functools.partial(
-        _smooth_scalar_cg_single, iterations, ls_iterations
+        _smooth_scalar_cg_single, iterations, ls_iterations, with_euler
     )
+    n_out = 5 if with_euler else 4
 
     @jax.custom_batching.custom_vmap
-    def op(qm, j, aref, d, qfrc_smooth, warm, tol):
-        return plain(qm, j, aref, d, qfrc_smooth, warm, tol)
+    def op(qm, j, aref, d, qfrc_smooth, warm, tol, hd):
+        return plain(qm, j, aref, d, qfrc_smooth, warm, tol, hd)
 
     @op.def_vmap
-    def _vmap(axis_size, in_batched, qm, j, aref, d, qfrc_smooth, warm, tol):
-        args = [qm, j, aref, d, qfrc_smooth, warm, tol]
+    def _vmap(axis_size, in_batched, qm, j, aref, d, qfrc_smooth, warm, tol, hd):
+        args = [qm, j, aref, d, qfrc_smooth, warm, tol, hd]
         per_env = in_batched[:6]
         n = qfrc_smooth.shape[-1]
         e = aref.shape[-1]
         tol_scalar = tol[0] if in_batched[6] else tol
         if all(per_env) and cg_solver_kernel.kernel_available(n, e):
+            hd_b = (
+                hd
+                if in_batched[7]
+                else jnp.broadcast_to(hd, (axis_size,) + jnp.shape(hd))
+            )
             out = cg_solver_kernel._cg_solve_tpu(
                 qm, j, aref, d, qfrc_smooth, warm, tol_scalar,
+                hd=hd_b if with_euler else None,
                 iterations=iterations, ls_iterations=ls_iterations,
             )
-            return out, (True, True, True, True)
+            return out, (True,) * n_out
         args = [
             a if b else jnp.broadcast_to(a, (axis_size,) + jnp.shape(a))
             for a, b in zip(args, in_batched)
         ]
-        return jax.vmap(plain)(*args), (True, True, True, True)
+        return jax.vmap(plain)(*args), (True,) * n_out
 
     return op
 
@@ -735,9 +760,14 @@ def solve(
         # unilateral scalar rows only: the fused smooth+CG op owns the qM
         # factorization AND the qacc_smooth solve (forward() skipped
         # factor_m/solve_m for this plan — see fused_scalar_cg); on TPU the
-        # whole chain is one Pallas kernel per batch tile
-        op = _make_scalar_cg_op(plan.iterations, plan.ls_iterations)
-        smooth, x, force, qfrc = op(
+        # whole chain is one Pallas kernel per batch tile. Euler plans fold
+        # the integrator's (M + h diag(damping)) solve in too (fused_euler).
+        with_euler = fused_euler(plan)
+        op = _make_scalar_cg_op(
+            plan.iterations, plan.ls_iterations, with_euler
+        )
+        hd = (model.opt_timestep * model.dof_damping).astype(dtype)
+        out = op(
             data.qM,
             efc.J,
             efc.aref,
@@ -745,13 +775,18 @@ def solve(
             data.qfrc_smooth,
             data.qacc_warmstart,
             model.opt_tolerance,
+            hd,
         )
-        return data.replace(
+        smooth, x, force, qfrc = out[:4]
+        data = data.replace(
             qacc_smooth=smooth.astype(dtype),
             qacc=x,
             qfrc_constraint=qfrc.astype(dtype),
             efc_force=force.astype(dtype),
         )
+        if with_euler:
+            data = data.replace(qacc_eff=out[4].astype(dtype))
+        return data
 
     if not (plan.ne or plan.nf):
         # fused elliptic plans (the fly): the op owns factorization and the
