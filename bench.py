@@ -402,6 +402,50 @@ def bench_trainer(
     return train_sps, eval_sps, spread
 
 
+V5E_PEAK_F32 = 98.5e12  # MXU f32 (bf16 peak is 197e12)
+V5E_HBM_BYTES_S = 819e9
+
+
+def roofline(env, episode_length: int, num_envs: int, train_sps: float):
+    """Compiler-derived FLOP/byte accounting of the env step (the rollout
+    hot path) converted to achieved utilization at the measured sps
+    (VERDICT r3 #2: every perf claim needs a denominator). Uses XLA's own
+    cost model (compiled.cost_analysis) on the SAME wrapped step bench
+    times; details + the physics-only figures live in
+    tools/flop_accounting.py."""
+    from track_mjx_tpu.envs import wrappers
+
+    try:
+        wrapped = wrappers.wrap(
+            env, episode_length=episode_length, action_repeat=1, use_lstm=False
+        )
+        keys = jax.random.split(jax.random.PRNGKey(0), num_envs)
+        state0 = jax.jit(wrapped.reset).lower(keys).compile()(keys)
+        act0 = jnp.zeros((num_envs, env.action_size))
+        compiled = jax.jit(wrapped.step).lower(state0, act0).compile()
+        c = compiled.cost_analysis()
+        if isinstance(c, list):
+            c = c[0]
+        flops_per_env_step = float(c.get("flops", -1)) / num_envs
+        bytes_per_env_step = float(c.get("bytes accessed", -1)) / num_envs
+        out = {
+            "flops_per_env_step": round(flops_per_env_step),
+            "bytes_per_env_step": round(bytes_per_env_step),
+        }
+        if train_sps:
+            out["achieved_flops"] = round(train_sps * flops_per_env_step)
+            out["mfu_vs_f32_peak"] = round(
+                train_sps * flops_per_env_step / V5E_PEAK_F32, 4
+            )
+            out["hbm_utilization"] = round(
+                train_sps * bytes_per_env_step / V5E_HBM_BYTES_S, 4
+            )
+        return out
+    except Exception as e:  # cost analysis is best-effort telemetry
+        log(f"roofline failed: {e}")
+        return None
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--num-envs", type=int, default=4096)
@@ -429,47 +473,39 @@ def main():
     p.add_argument("--bf16", action="store_true",
                    help="bf16 policy forward on the rollout hot path "
                         "(f32 master params/normalizer/loss)")
-    p.add_argument("--walker", choices=("rodent", "fly"), default="rodent",
-                   help="workload: rodent-full-clips (default) or "
-                        "fly-mc-intention scale")
+    p.add_argument("--walker", choices=("rodent", "fly"), default=None,
+                   help="bench ONLY this workload (rodent-full-clips or "
+                        "fly-mc-intention scale). Default: the full driver "
+                        "protocol — rodent MLP (headline) + fly MLP + "
+                        "rodent LSTM, all in one run")
     p.add_argument("--num-evals", type=int, default=4,
                    help="trainer epochs (first is compile/warmup and dropped; "
                         "the headline is the median of the rest)")
     args = p.parse_args()
 
     log(f"devices: {jax.devices()}")
-    env, cfg = build_env(args.num_clips, walker_type=args.walker)
-    episode_length = int(
-        (
-            cfg.reference_config.clip_length
-            - cfg.reference_config.random_init_range
-            - cfg.reference_config.traj_length
-        )
-        * env._steps_for_cur_frame
-    )
-    log(f"{args.walker} env built: nq={env.plan.nq} nv={env.plan.nv} "
-        f"nu={env.plan.nu} ncon={env.plan.ncon} nefc={env.plan.nefc} "
-        f"episode_length={episode_length}")
+    full_protocol = args.walker is None and not args.lstm and not args.hand_rolled
+    headline_walker = args.walker or "rodent"
 
-    rollout_sps = None
-    if not args.skip_rollout:
-        rollout_sps = bench_rollout(
-            env, args.rollout_envs, args.rollout_steps,
-            episode_length=episode_length,
+    def one_workload(walker: str, use_lstm: bool, with_rollout: bool):
+        env, cfg = build_env(args.num_clips, walker_type=walker)
+        episode_length = int(
+            (
+                cfg.reference_config.clip_length
+                - cfg.reference_config.random_init_range
+                - cfg.reference_config.traj_length
+            )
+            * env._steps_for_cur_frame
         )
-
-    eval_sps = None
-    spread = None
-    if args.hand_rolled:
-        train_sps = bench_training_step(
-            env,
-            args.num_envs,
-            args.batch_size,
-            args.num_minibatches,
-            args.unroll_length,
-            args.updates_per_batch,
-        )
-    else:
+        log(f"{walker} env built: nq={env.plan.nq} nv={env.plan.nv} "
+            f"nu={env.plan.nu} ncon={env.plan.ncon} nefc={env.plan.nefc} "
+            f"episode_length={episode_length}")
+        rollout_sps = None
+        if with_rollout:
+            rollout_sps = bench_rollout(
+                env, args.rollout_envs, args.rollout_steps,
+                episode_length=episode_length,
+            )
         train_sps, eval_sps, spread = bench_trainer(
             env,
             cfg,
@@ -480,11 +516,56 @@ def main():
             num_updates_per_batch=args.updates_per_batch,
             epoch_steps_per_call=args.epoch_steps_per_call,
             profile_dir=args.profile_dir,
-            use_lstm=args.lstm,
+            use_lstm=use_lstm,
             episode_length=episode_length,
             num_evals=args.num_evals,
             rollout_bf16=args.bf16,
         )
+        return env, episode_length, train_sps, eval_sps, spread, rollout_sps
+
+    if args.hand_rolled:
+        env, cfg = build_env(args.num_clips, walker_type=headline_walker)
+        train_sps = bench_training_step(
+            env,
+            args.num_envs,
+            args.batch_size,
+            args.num_minibatches,
+            args.unroll_length,
+            args.updates_per_batch,
+        )
+        eval_sps = spread = rollout_sps = None
+        episode_length = 195
+    else:
+        env, episode_length, train_sps, eval_sps, spread, rollout_sps = (
+            one_workload(
+                headline_walker, args.lstm, with_rollout=not args.skip_rollout
+            )
+        )
+
+    roof = roofline(env, episode_length, args.num_envs, train_sps)
+
+    workloads = None
+    if full_protocol:
+        # driver protocol: certify the fly and LSTM numbers in the same
+        # artifact (VERDICT r3 #6). Sustained-median per workload; the
+        # rodent-MLP figure above stays the headline metric.
+        workloads = {}
+        for name, walker, use_lstm in (
+            ("fly_mlp", "fly", False),
+            ("rodent_lstm", "rodent", True),
+        ):
+            try:
+                _, _, t_sps, e_sps, sprd, _ = one_workload(
+                    walker, use_lstm, with_rollout=False
+                )
+                workloads[name] = {
+                    "training_sps": round(t_sps, 1),
+                    "eval_sps": round(e_sps, 1) if e_sps else None,
+                    "sustained": sprd,
+                }
+            except Exception as e:  # one failing workload must not void the headline
+                log(f"workload {name} failed: {e}")
+                workloads[name] = {"error": str(e)[:200]}
 
     baseline = None
     try:
@@ -508,9 +589,11 @@ def main():
                     "num_envs": args.num_envs,
                     "batch_size": args.batch_size,
                     "num_minibatches": args.num_minibatches,
-                    "walker": args.walker,
+                    "walker": headline_walker,
                     "rollout_bf16": args.bf16,
                     "pipeline": "lstm" if args.lstm else "mlp",
+                    "roofline": roof,
+                    "workloads": workloads,
                     "device": str(jax.devices()[0]),
                 },
             }

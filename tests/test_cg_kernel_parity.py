@@ -450,3 +450,86 @@ def test_cg_kernel_fused_euler_solve(cg_rodent):
             1.0, np.abs(np.asarray(y)).max()
         )
         assert e < 1e-3, f"{name} rel err {e:.2e}"
+
+
+def test_cg_kernel_qm_build_matches_dense(cg_rodent):
+    """The in-VMEM qM assembly from CRB factors (round-4 fusion) must match
+    the dense-qM kernel path at f32-roundoff level on all outputs."""
+    from track_mjx_tpu.physics import forward as fwd2
+
+    m, plan, model = cg_rodent
+    rng = np.random.RandomState(5)
+    n_envs = 4
+    qpos = np.tile(m.qpos0, (n_envs, 1))
+    qpos[:, 2] -= rng.uniform(0.008, 0.016, n_envs)
+    qpos[:, 7:] += rng.uniform(-0.08, 0.08, (n_envs, m.nq - 7))
+    qvel = rng.uniform(-0.5, 0.5, (n_envs, m.nv))
+    ctrl = rng.uniform(-0.5, 0.5, (n_envs, m.nu))
+    warm = jnp.asarray(rng.uniform(-1.0, 1.0, (n_envs, m.nv)), jnp.float32)
+
+    def stages(qpos, qvel, ctrl):
+        data = pm.make_data(plan, model)
+        data = data.replace(qpos=qpos, qvel=qvel, ctrl=ctrl)
+        data, efc = fwd2.fwd_position(plan, model, data)
+        data = fwd2.fwd_velocity(plan, model, data)
+        data = fwd2.fwd_actuation(plan, model, data)
+        data = fwd2.fwd_acceleration(plan, model, data)
+        return (
+            data.qM, data.crb_buf, data.cdof, efc.J, efc.aref, efc.D,
+            data.qfrc_smooth,
+        )
+
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    qm, buf, cdof, j, aref, d_rows, qfrc = jax.jit(jax.vmap(stages))(
+        f32(qpos), f32(qvel), f32(ctrl)
+    )
+    tol = jnp.asarray(m.opt.tolerance, jnp.float32)
+    hd = jnp.broadcast_to(
+        jnp.asarray(m.opt.timestep * m.dof_damping, jnp.float32),
+        (n_envs, m.nv),
+    )
+    anc = jnp.asarray(plan.ancestry_mask, jnp.float32)
+    arm = jnp.asarray(model.dof_armature, jnp.float32)
+
+    dense = cg_solver_kernel._cg_solve_tpu(
+        qm, j, aref, d_rows, qfrc, warm, tol, hd=hd,
+        iterations=_ITERS, ls_iterations=_LS_ITERS, interpret=True,
+    )
+    built = cg_solver_kernel._cg_solve_tpu(
+        qm, j, aref, d_rows, qfrc, warm, tol, hd=hd,
+        crb=(buf, cdof, anc, arm),
+        iterations=_ITERS, ls_iterations=_LS_ITERS, interpret=True,
+    )
+    names = ("qacc_smooth", "qacc", "efc_force", "qfrc_constraint", "qacc_eff")
+    for name, a, b in zip(names, built, dense):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        err = np.abs(a - b).max() / max(1.0, np.abs(b).max())
+        assert err < 2e-4, f"{name}: rel err {err:.2e}"
+
+
+def test_elliptic_cg_kernel_fused_euler_solve(cg_fly):
+    """The elliptic kernel's in-kernel Euler implicit-damping solve must
+    match the unfused cholesky(M + h diag(damping)) + substitution
+    sequence (round-4 fusion, mirroring the scalar kernel)."""
+    m, plan, model = cg_fly
+    qm, j, aref, d_rows, mu_t, qfrc, warm = _fly_solver_inputs(m, plan, model)
+    tol = jnp.asarray(m.opt.tolerance, jnp.float32)
+    ns = plan.nefc - 3 * plan.ncon_ell
+    hd1 = jnp.asarray(m.opt.timestep * m.dof_damping, jnp.float32)
+    hd = jnp.broadcast_to(hd1, (qm.shape[0],) + hd1.shape)
+
+    op = solver_mod._make_elliptic_cg_op(1, _ELL_LS_ITERS, plan.ncon_ell, True)
+    ref = jax.vmap(
+        lambda QM, J, A, D, MU, F, W, HD: op(QM, J, A, D, MU, F, W, tol, HD)
+    )(qm, j, aref, d_rows, mu_t, qfrc, warm, hd)
+    out = cg_solver_kernel._ell_cg_solve_tpu(
+        qm, j, aref, d_rows, mu_t, qfrc, warm, tol, hd=hd,
+        ns=ns, ncon_ell=plan.ncon_ell,
+        iterations=1, ls_iterations=_ELL_LS_ITERS, interpret=True,
+    )
+    assert len(out) == 5 and len(ref) == 5
+    a = np.asarray(out[4], np.float64)
+    b = np.asarray(ref[4], np.float64)
+    err = np.abs(a - b).max() / max(1.0, np.abs(b).max())
+    assert err < 1e-3, f"qacc_eff rel err {err:.2e}"

@@ -83,35 +83,90 @@ def _cg_kernel(
     iterations: int,
     ls_iterations: int,
     with_euler: bool,
-    qm_ref,
-    j_ref,
-    aref_ref,
-    d_ref,
-    qfrc_smooth_ref,
-    warm_ref,
-    tolscale_ref,
-    hd_ref,
-    x_ref,
-    force_ref,
-    qfrc_ref,
-    smooth_out_ref,
-    eff_ref,
-    jar_ref,
-    grad_ref,
-    mgrad_ref,
-    p_ref,
-    imp_ref,
-    sol_ref,
-    l_ref,
-    lt_ref,
+    with_qm_build: bool,
+    *refs,
 ):
-    n = qm_ref.shape[0]
+    # Two input layouts: the classic one takes dense qM; the qm-build one
+    # (round 4) takes the CRB factors buf/cdof (nv, 8-padded 6, T) plus the
+    # static ancestry mask and armature, and assembles qM IN VMEM — 5.6x
+    # less HBM traffic than the dense matrix, and the XLA-side dense
+    # assembly (dot_general + transpose, ~2.5s/28s of a training step) gets
+    # dead-code-eliminated on the scan-carried substeps.
+    if with_qm_build:
+        (
+            buf_ref,
+            cdof_ref,
+            anc_ref,
+            arm_ref,
+            j_ref,
+            aref_ref,
+            d_ref,
+            qfrc_smooth_ref,
+            warm_ref,
+            tolscale_ref,
+            hd_ref,
+            x_ref,
+            force_ref,
+            qfrc_ref,
+            smooth_out_ref,
+            eff_ref,
+            jar_ref,
+            grad_ref,
+            mgrad_ref,
+            p_ref,
+            imp_ref,
+            sol_ref,
+            l_ref,
+            lt_ref,
+            qm_ref,  # scratch in this layout
+        ) = refs
+        n = l_ref.shape[0]
+    else:
+        (
+            qm_ref,
+            j_ref,
+            aref_ref,
+            d_ref,
+            qfrc_smooth_ref,
+            warm_ref,
+            tolscale_ref,
+            hd_ref,
+            x_ref,
+            force_ref,
+            qfrc_ref,
+            smooth_out_ref,
+            eff_ref,
+            jar_ref,
+            grad_ref,
+            mgrad_ref,
+            p_ref,
+            imp_ref,
+            sol_ref,
+            l_ref,
+            lt_ref,
+        ) = refs
+        n = qm_ref.shape[0]
     # factor qM in VMEM (blocked right-looking; upper garbage masked out so
     # the dense matv_m reads below see a clean lower factor), then L^T in a
     # second scratch (ref dynamic slicing needs the row-major form for the
     # backward substitution)
     row_n = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
     col_n = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+    if with_qm_build:
+        # full[i,j,t] = sum_k buf[i,k,t] cdof[j,k,t]; the k loop accumulates
+        # (n,1,T)x(1,n,T) broadcast products (8 slabs incl. zero pads)
+        full = buf_ref[:, 0, :][:, None, :] * cdof_ref[:, 0, :][None, :, :]
+        for k in range(1, buf_ref.shape[1]):
+            full = full + (
+                buf_ref[:, k, :][:, None, :] * cdof_ref[:, k, :][None, :, :]
+            )
+        lower = full * anc_ref[:][:, :, None]
+        qm = (
+            lower
+            + jnp.swapaxes(lower, 0, 1)
+            - jnp.where(row_n == col_n, lower, 0.0)
+        )
+        qm_ref[:] = qm + jnp.where(row_n == col_n, arm_ref[:][:, None, :], 0.0)
     l_ref[:] = qm_ref[:]
     factor_in_place(l_ref)
     l_ref[:] = jnp.where(row_n >= col_n, l_ref[:], 0.0)
@@ -312,7 +367,7 @@ def _pad_tiles(x, tile):
     jax.jit, static_argnames=("iterations", "ls_iterations", "interpret")
 )
 def _cg_solve_tpu(
-    qm, j, aref, d, qfrc_smooth, warm, tol, hd=None, *, iterations,
+    qm, j, aref, d, qfrc_smooth, warm, tol, hd=None, crb=None, *, iterations,
     ls_iterations, interpret=False,
 ):
     """Batch-first [B, ...] inputs -> (qacc_smooth, x, force, qfrc[, qacc_eff]).
@@ -321,27 +376,50 @@ def _cg_solve_tpu(
     returns qacc_eff = (M + diag(hd))^-1 (qfrc_smooth + qfrc) — the Euler
     integrator's implicit-damping solve, fused so qM never re-enters HBM.
 
+    With `crb` = (buf (B, n, 6), cdof (B, n, 6), anc (n, n), armature (n,)),
+    the kernel ASSEMBLES qM in VMEM from the CRB factors (qM = anc-masked
+    buf @ cdof^T symmetrized + diag(armature)) and `qm` is ignored — the
+    caller's dense assembly dead-codes away on the hot path.
+
     interpret=True runs the kernel through the Pallas interpreter (any
     backend): the CPU test suite uses it to pin kernel numerics against the
     unfused path (tests/test_cg_kernel_parity.py)."""
     bsz, n = qfrc_smooth.shape
     e = aref.shape[-1]
     dtype = qfrc_smooth.dtype
+    with_qm_build = crb is not None
     # lane layout, padded to full tiles
-    qm_nn = _pad_tiles(jnp.moveaxis(qm, 0, -1), LANE_TILE)
     j_en = _pad_tiles(jnp.moveaxis(j, 0, -1), LANE_TILE)
     aref_e = _pad_tiles(jnp.moveaxis(aref, 0, -1), LANE_TILE)
     d_e = _pad_tiles(jnp.moveaxis(d, 0, -1), LANE_TILE)
     qfrc_n = _pad_tiles(jnp.moveaxis(qfrc_smooth, 0, -1), LANE_TILE)
     warm_n = _pad_tiles(jnp.moveaxis(warm, 0, -1), LANE_TILE)
-    # convergence threshold tol * sum(diag M) = tol * trace(M)
-    # (see the in-kernel note on why this is precomputed)
-    scale = jnp.maximum(
-        jnp.sum(jnp.diagonal(qm, axis1=1, axis2=2), axis=-1), _EPS
-    )
+    if with_qm_build:
+        buf, cdof, anc, arm = crb
+        kpad = (-buf.shape[-1]) % _SUBLANE
+        buf = jnp.pad(buf, ((0, 0), (0, 0), (0, kpad)))
+        cdof = jnp.pad(cdof, ((0, 0), (0, 0), (0, kpad)))
+        buf_nk = _pad_tiles(jnp.moveaxis(buf, 0, -1), LANE_TILE)
+        cdof_nk = _pad_tiles(jnp.moveaxis(cdof, 0, -1), LANE_TILE)
+        anc_nn = jnp.asarray(anc, dtype)
+        arm_n = _pad_tiles(
+            jnp.broadcast_to(arm.astype(dtype)[:, None], (n, bsz)), LANE_TILE
+        )
+        # trace(M) from the factors: diag M_i = buf_i . cdof_i + armature_i
+        scale = jnp.maximum(
+            jnp.sum(buf * cdof, axis=(-2, -1)) + jnp.sum(arm), _EPS
+        )
+        qm_nn = None
+    else:
+        qm_nn = _pad_tiles(jnp.moveaxis(qm, 0, -1), LANE_TILE)
+        # convergence threshold tol * sum(diag M) = tol * trace(M)
+        # (see the in-kernel note on why this is precomputed)
+        scale = jnp.maximum(
+            jnp.sum(jnp.diagonal(qm, axis1=1, axis2=2), axis=-1), _EPS
+        )
     tolscale = tol.astype(dtype) * scale
     tolscale_1 = _pad_tiles(tolscale[None, :].astype(dtype), LANE_TILE)
-    tiles = qm_nn.shape[-1] // LANE_TILE
+    tiles = j_en.shape[-1] // LANE_TILE
 
     with_euler = hd is not None
     hd_n = _pad_tiles(
@@ -351,7 +429,9 @@ def _cg_solve_tpu(
         LANE_TILE,
     )
 
-    kernel = functools.partial(_cg_kernel, iterations, ls_iterations, with_euler)
+    kernel = functools.partial(
+        _cg_kernel, iterations, ls_iterations, with_euler, with_qm_build
+    )
 
     def lanes(rows):  # per-tile lane block of a (rows, B) operand
         return pl.BlockSpec(
@@ -363,6 +443,31 @@ def _cg_solve_tpu(
             (a, b, LANE_TILE), lambda i: (0, 0, i), memory_space=pltpu.VMEM
         )
 
+    common_in_specs = [
+        lanes3(e, n),  # J
+        lanes(e),  # aref
+        lanes(e),  # D
+        lanes(n),  # qfrc_smooth
+        lanes(n),  # warmstart
+        lanes(1),  # tol * scale
+        lanes(n),  # h * dof_damping (euler shift)
+    ]
+    common_inputs = (j_en, aref_e, d_e, qfrc_n, warm_n, tolscale_1, hd_n)
+    if with_qm_build:
+        kk = buf_nk.shape[1]
+        in_specs = [
+            lanes3(n, kk),  # crb buf
+            lanes3(n, kk),  # cdof
+            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            lanes(n),  # armature
+        ] + common_in_specs
+        inputs = (buf_nk, cdof_nk, anc_nn, arm_n) + common_inputs
+        extra_scratch = [pltpu.VMEM((n, n, LANE_TILE), dtype)]  # built qM
+    else:
+        in_specs = [lanes3(n, n)] + common_in_specs  # dense qM
+        inputs = (qm_nn,) + common_inputs
+        extra_scratch = []
+
     xs, fs, qs, sm, eff = pl.pallas_call(
         kernel,
         grid=(tiles,),
@@ -373,16 +478,7 @@ def _cg_solve_tpu(
             jax.ShapeDtypeStruct((n, tiles * LANE_TILE), dtype),
             jax.ShapeDtypeStruct((n, tiles * LANE_TILE), dtype),
         ),
-        in_specs=[
-            lanes3(n, n),  # qM
-            lanes3(e, n),  # J
-            lanes(e),  # aref
-            lanes(e),  # D
-            lanes(n),  # qfrc_smooth
-            lanes(n),  # warmstart
-            lanes(1),  # tol * scale
-            lanes(n),  # h * dof_damping (euler shift)
-        ],
+        in_specs=in_specs,
         out_specs=(lanes(n), lanes(e), lanes(n), lanes(n), lanes(n)),
         scratch_shapes=[
             pltpu.VMEM((e, LANE_TILE), dtype),  # jar
@@ -393,12 +489,13 @@ def _cg_solve_tpu(
             pltpu.VMEM((n, LANE_TILE), dtype),  # substitution state
             pltpu.VMEM((n, n, LANE_TILE), dtype),  # L
             pltpu.VMEM((n, n, LANE_TILE), dtype),  # L^T
-        ],
+        ]
+        + extra_scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
-    )(qm_nn, j_en, aref_e, d_e, qfrc_n, warm_n, tolscale_1, hd_n)
+    )(*inputs)
 
     def unlane(t):  # (rows, tiles*T) -> (B, rows)
         return jnp.moveaxis(t, 0, -1)[:bsz]
@@ -437,6 +534,7 @@ def _ell_cg_kernel(
     ls_iterations: int,
     ns: int,  # padded scalar-row count (multiple of 8)
     c: int,  # padded cone-block count (multiple of 8)
+    with_euler: bool,
     qm_ref,
     j_ref,
     aref_ref,
@@ -445,10 +543,12 @@ def _ell_cg_kernel(
     qfrc_smooth_ref,
     warm_ref,
     tolscale_ref,
+    hd_ref,
     x_ref,
     force_ref,
     qfrc_ref,
     smooth_out_ref,
+    eff_ref,
     jar_ref,
     grad_ref,
     mgrad_ref,
@@ -697,7 +797,22 @@ def _ell_cg_kernel(
     force_ref[ns : ns + c] = f_n
     force_ref[ns + c : ns + 2 * c] = f_t1
     force_ref[ns + 2 * c :] = f_t2
-    qfrc_ref[:] = matv_jt(f_s, f_n, f_t1, f_t2)
+    qfrc = matv_jt(f_s, f_n, f_t1, f_t2)
+    qfrc_ref[:] = qfrc
+
+    if with_euler:
+        # Euler implicit-damping solve in the same invocation (see the
+        # scalar kernel): refactor (M + h diag(damping)) into the L scratch
+        # — qM stays live in this variant, so no rebuild is needed
+        l_ref[:] = qm_ref[:] + jnp.where(
+            row_n == col_n, hd_ref[:][:, None, :], 0.0
+        )
+        factor_in_place(l_ref)
+        l_ref[:] = jnp.where(row_n >= col_n, l_ref[:], 0.0)
+        lt_ref[:] = jnp.swapaxes(l_ref[:], 0, 1)
+        eff_ref[:] = chosolve(qfrc_smooth_ref[:] + qfrc)
+    else:
+        eff_ref[:] = jnp.zeros_like(qfrc)
 
 
 @functools.lru_cache(maxsize=None)
@@ -733,14 +848,16 @@ def _ell_layout(ns: int, ncon_ell: int):
     static_argnames=("ns", "ncon_ell", "iterations", "ls_iterations", "interpret"),
 )
 def _ell_cg_solve_tpu(
-    qm, j, aref, d, mu, qfrc_smooth, warm, tol, *,
+    qm, j, aref, d, mu, qfrc_smooth, warm, tol, hd=None, *,
     ns, ncon_ell, iterations, ls_iterations, interpret=False,
 ):
     """Batch-first [B, ...] inputs (interleaved row order, as assembled by
-    physics/constraint.py) -> (qacc_smooth, x, force, qfrc); `force` is
-    returned in the interleaved order. mu is (B, ncon_ell) — each block's
-    mu_1 / sqrt(impratio). interpret=True runs through the Pallas
-    interpreter for the CPU parity suite."""
+    physics/constraint.py) -> (qacc_smooth, x, force, qfrc[, qacc_eff]);
+    `force` is returned in the interleaved order. mu is (B, ncon_ell) — each
+    block's mu_1 / sqrt(impratio). With `hd` (B, n) the kernel additionally
+    returns the Euler implicit-damping solve (see _cg_solve_tpu).
+    interpret=True runs through the Pallas interpreter for the CPU parity
+    suite."""
     bsz, n = qfrc_smooth.shape
     dtype = qfrc_smooth.dtype
     ns_p, c_p, e_p, gather, pad_mask, scatter = _ell_layout(ns, ncon_ell)
@@ -765,8 +882,16 @@ def _ell_cg_solve_tpu(
     tolscale_1 = _pad_tiles((tol.astype(dtype) * scale)[None, :], LANE_TILE)
     tiles = qm_nn.shape[-1] // LANE_TILE
 
+    with_euler = hd is not None
+    hd_n = _pad_tiles(
+        jnp.moveaxis(
+            hd if with_euler else jnp.zeros_like(qfrc_smooth), 0, -1
+        ),
+        LANE_TILE,
+    )
+
     kernel = functools.partial(
-        _ell_cg_kernel, iterations, ls_iterations, ns_p, c_p
+        _ell_cg_kernel, iterations, ls_iterations, ns_p, c_p, with_euler
     )
 
     def lanes(rows):
@@ -779,12 +904,13 @@ def _ell_cg_solve_tpu(
             (a, b, LANE_TILE), lambda i: (0, 0, i), memory_space=pltpu.VMEM
         )
 
-    xs, fs, qs, sm = pl.pallas_call(
+    xs, fs, qs, sm, eff = pl.pallas_call(
         kernel,
         grid=(tiles,),
         out_shape=(
             jax.ShapeDtypeStruct((n, tiles * LANE_TILE), dtype),
             jax.ShapeDtypeStruct((e_p, tiles * LANE_TILE), dtype),
+            jax.ShapeDtypeStruct((n, tiles * LANE_TILE), dtype),
             jax.ShapeDtypeStruct((n, tiles * LANE_TILE), dtype),
             jax.ShapeDtypeStruct((n, tiles * LANE_TILE), dtype),
         ),
@@ -797,8 +923,9 @@ def _ell_cg_solve_tpu(
             lanes(n),  # qfrc_smooth
             lanes(n),  # warmstart
             lanes(1),  # tol * scale
+            lanes(n),  # h * dof_damping (euler shift)
         ],
-        out_specs=(lanes(n), lanes(e_p), lanes(n), lanes(n)),
+        out_specs=(lanes(n), lanes(e_p), lanes(n), lanes(n), lanes(n)),
         scratch_shapes=[
             pltpu.VMEM((e_p, LANE_TILE), dtype),  # jar
             pltpu.VMEM((n, LANE_TILE), dtype),  # grad
@@ -813,10 +940,12 @@ def _ell_cg_solve_tpu(
             vmem_limit_bytes=_VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
-    )(qm_nn, j_en, aref_e, d_e, mu_c, qfrc_n, warm_n, tolscale_1)
+    )(qm_nn, j_en, aref_e, d_e, mu_c, qfrc_n, warm_n, tolscale_1, hd_n)
 
     def unlane(t):  # (rows, tiles*T) -> (B, rows)
         return jnp.moveaxis(t, 0, -1)[:bsz]
 
     force = unlane(fs)[:, jnp.asarray(scatter)]  # back to interleaved order
+    if with_euler:
+        return unlane(sm), unlane(xs), force, unlane(qs), unlane(eff)
     return unlane(sm), unlane(xs), force, unlane(qs)

@@ -44,7 +44,11 @@ def crb(plan: PhysicsPlan, model: Model, data: Data) -> Data:
     lower = jnp.where(anc, full, 0.0)
     qm = lower + lower.T - jnp.diag(jnp.diag(lower))
     qm = qm + jnp.diag(model.dof_armature)
-    return data.replace(qM=qm.astype(dtype))
+    # crb_buf is exported so the fused CG kernel can rebuild/factor qM in
+    # VMEM from (nv, 6) operands instead of reading the dense (nv, nv)
+    # matrix from HBM; when the kernel path is taken XLA dead-code-
+    # eliminates the dense assembly above on the scan-carried substeps
+    return data.replace(qM=qm.astype(dtype), crb_buf=buf.astype(dtype))
 
 
 def factor_m(plan: PhysicsPlan, model: Model, data: Data) -> Data:

@@ -250,6 +250,7 @@ class Data:
     # inertia
     qM: jax.Array
     qLD: jax.Array  # dense cholesky factor (lower)
+    crb_buf: jax.Array  # (nv, 6) composite-inertia * cdof (qM = buf @ cdof^T)
     # forces
     qfrc_bias: jax.Array
     qfrc_passive: jax.Array
@@ -693,6 +694,7 @@ def make_data(plan: PhysicsPlan, model: Model) -> Data:
         cdof_dot=z(nv, 6),
         qM=z(nv, nv),
         qLD=z(nv, nv),
+        crb_buf=z(nv, 6),
         qfrc_bias=z(nv),
         qfrc_passive=z(nv),
         qfrc_spring=z(nv),

@@ -209,11 +209,11 @@ def fused_cg(plan: PhysicsPlan) -> bool:
 
 
 def fused_euler(plan: PhysicsPlan) -> bool:
-    """True when the fused scalar CG op also performs the Euler integrator's
-    implicit-damping solve (M + h diag(damping))^-1 in the same kernel
-    invocation, exported as data.qacc_eff — forward.euler() must consume it
-    instead of dispatching a second factorization."""
-    return fused_scalar_cg(plan) and plan.integrator == 0  # forward.INT_EULER
+    """True when the fused CG op (scalar or elliptic) also performs the
+    Euler integrator's implicit-damping solve (M + h diag(damping))^-1 in
+    the same kernel invocation, exported as data.qacc_eff — forward.euler()
+    must consume it instead of dispatching a second factorization."""
+    return fused_cg(plan) and plan.integrator == 0  # forward.INT_EULER
 
 
 def _smooth_scalar_cg_single(
@@ -243,31 +243,48 @@ def _smooth_scalar_cg_single(
 
 @functools.lru_cache(maxsize=None)
 def _make_scalar_cg_op(iterations: int, ls_iterations: int, with_euler: bool):
-    plain = functools.partial(
+    plain_ = functools.partial(
         _smooth_scalar_cg_single, iterations, ls_iterations, with_euler
     )
+
+    def plain(qm, j, aref, d, qfrc_smooth, warm, tol, hd, buf, cdof, anc, arm):
+        # the dense path consumes qM directly; the CRB factors feed only the
+        # TPU kernel's in-VMEM assembly (unused args DCE away)
+        return plain_(qm, j, aref, d, qfrc_smooth, warm, tol, hd)
+
     n_out = 5 if with_euler else 4
 
     @jax.custom_batching.custom_vmap
-    def op(qm, j, aref, d, qfrc_smooth, warm, tol, hd):
-        return plain(qm, j, aref, d, qfrc_smooth, warm, tol, hd)
+    def op(qm, j, aref, d, qfrc_smooth, warm, tol, hd, buf, cdof, anc, arm):
+        return plain(qm, j, aref, d, qfrc_smooth, warm, tol, hd, buf, cdof, anc, arm)
 
     @op.def_vmap
-    def _vmap(axis_size, in_batched, qm, j, aref, d, qfrc_smooth, warm, tol, hd):
-        args = [qm, j, aref, d, qfrc_smooth, warm, tol, hd]
+    def _vmap(
+        axis_size, in_batched, qm, j, aref, d, qfrc_smooth, warm, tol, hd,
+        buf, cdof, anc, arm,
+    ):
+        args = [qm, j, aref, d, qfrc_smooth, warm, tol, hd, buf, cdof, anc, arm]
         per_env = in_batched[:6]
         n = qfrc_smooth.shape[-1]
         e = aref.shape[-1]
         tol_scalar = tol[0] if in_batched[6] else tol
-        if all(per_env) and cg_solver_kernel.kernel_available(n, e):
+        if (
+            all(per_env)
+            and in_batched[8]
+            and in_batched[9]
+            and cg_solver_kernel.kernel_available(n, e)
+        ):
             hd_b = (
                 hd
                 if in_batched[7]
                 else jnp.broadcast_to(hd, (axis_size,) + jnp.shape(hd))
             )
+            anc_u = anc[0] if in_batched[10] else anc
+            arm_u = arm[0] if in_batched[11] else arm
             out = cg_solver_kernel._cg_solve_tpu(
                 qm, j, aref, d, qfrc_smooth, warm, tol_scalar,
                 hd=hd_b if with_euler else None,
+                crb=(buf, cdof, anc_u, arm_u),
                 iterations=iterations, ls_iterations=ls_iterations,
             )
             return out, (True,) * n_out
@@ -590,18 +607,34 @@ def _elliptic_cg_single(
 
 
 @functools.lru_cache(maxsize=None)
-def _make_elliptic_cg_op(iterations: int, ls_iterations: int, ncon_ell: int):
-    plain = functools.partial(
+def _make_elliptic_cg_op(
+    iterations: int, ls_iterations: int, ncon_ell: int, with_euler: bool
+):
+    plain_ = functools.partial(
         _elliptic_cg_single, iterations, ls_iterations, ncon_ell
     )
+    n_out = 5 if with_euler else 4
+
+    def plain(qm, j, aref, d, mu_t, qfrc_smooth, warm, tol, hd):
+        out = plain_(qm, j, aref, d, mu_t, qfrc_smooth, warm, tol)
+        if not with_euler:
+            return out
+        smooth, x, force, qfrc = out
+        mh = qm + jnp.diag(hd)
+        eff = batched_linalg.cho_solve(
+            batched_linalg.cholesky(mh), qfrc_smooth + qfrc
+        )
+        return smooth, x, force, qfrc, eff
 
     @jax.custom_batching.custom_vmap
-    def op(qm, j, aref, d, mu_t, qfrc_smooth, warm, tol):
-        return plain(qm, j, aref, d, mu_t, qfrc_smooth, warm, tol)
+    def op(qm, j, aref, d, mu_t, qfrc_smooth, warm, tol, hd):
+        return plain(qm, j, aref, d, mu_t, qfrc_smooth, warm, tol, hd)
 
     @op.def_vmap
-    def _vmap(axis_size, in_batched, qm, j, aref, d, mu_t, qfrc_smooth, warm, tol):
-        args = [qm, j, aref, d, mu_t, qfrc_smooth, warm, tol]
+    def _vmap(
+        axis_size, in_batched, qm, j, aref, d, mu_t, qfrc_smooth, warm, tol, hd
+    ):
+        args = [qm, j, aref, d, mu_t, qfrc_smooth, warm, tol, hd]
         # mu_t and tol derive from model constants and may trace unbatched;
         # the per-env state operands decide kernel dispatch
         core = [in_batched[i] for i in (0, 1, 2, 3, 5, 6)]
@@ -615,17 +648,23 @@ def _make_elliptic_cg_op(iterations: int, ls_iterations: int, ncon_ell: int):
                 else jnp.broadcast_to(mu_t, (axis_size,) + jnp.shape(mu_t))
             )
             tol_scalar = tol[0] if in_batched[7] else tol
+            hd_b = (
+                hd
+                if in_batched[8]
+                else jnp.broadcast_to(hd, (axis_size,) + jnp.shape(hd))
+            )
             out = cg_solver_kernel._ell_cg_solve_tpu(
                 qm, j, aref, d, mu_b, qfrc_smooth, warm, tol_scalar,
+                hd=hd_b if with_euler else None,
                 ns=ns, ncon_ell=ncon_ell,
                 iterations=iterations, ls_iterations=ls_iterations,
             )
-            return out, (True, True, True, True)
+            return out, (True,) * n_out
         args = [
             a if b else jnp.broadcast_to(a, (axis_size,) + jnp.shape(a))
             for a, b in zip(args, in_batched)
         ]
-        return jax.vmap(plain)(*args), (True, True, True, True)
+        return jax.vmap(plain)(*args), (True,) * n_out
 
     return op
 
@@ -776,6 +815,10 @@ def solve(
             data.qacc_warmstart,
             model.opt_tolerance,
             hd,
+            data.crb_buf,
+            data.cdof,
+            jnp.asarray(plan.ancestry_mask, dtype),
+            model.dof_armature.astype(dtype),
         )
         smooth, x, force, qfrc = out[:4]
         data = data.replace(
@@ -793,10 +836,11 @@ def solve(
         # smooth solve — forward() skipped factor_m/solve_m (fused_cg); on
         # TPU the whole chain is one Pallas kernel per batch tile
         mu_t = efc.ell_mu * jax.lax.rsqrt(jnp.maximum(model.opt_impratio, _EPS))
+        with_euler = fused_euler(plan)
         op = _make_elliptic_cg_op(
-            plan.iterations, plan.ls_iterations, plan.ncon_ell
+            plan.iterations, plan.ls_iterations, plan.ncon_ell, with_euler
         )
-        smooth, x, force, qfrc = op(
+        out = op(
             data.qM,
             efc.J,
             efc.aref,
@@ -805,13 +849,18 @@ def solve(
             data.qfrc_smooth,
             data.qacc_warmstart,
             model.opt_tolerance,
+            (model.opt_timestep * model.dof_damping).astype(dtype),
         )
-        return data.replace(
+        smooth, x, force, qfrc = out[:4]
+        data = data.replace(
             qacc_smooth=smooth.astype(dtype),
             qacc=x,
             qfrc_constraint=qfrc.astype(dtype),
             efc_force=force.astype(dtype),
         )
+        if with_euler:
+            data = data.replace(qacc_eff=out[4].astype(dtype))
+        return data
 
     def cost(x):
         dx = x - data.qacc_smooth
