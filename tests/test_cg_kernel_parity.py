@@ -520,8 +520,13 @@ def test_elliptic_cg_kernel_fused_euler_solve(cg_fly):
     hd = jnp.broadcast_to(hd1, (qm.shape[0],) + hd1.shape)
 
     op = solver_mod._make_elliptic_cg_op(1, _ELL_LS_ITERS, plan.ncon_ell, True)
+    z6 = jnp.zeros((plan.nv, 6), jnp.float32)
+    znn = jnp.zeros((plan.nv, plan.nv), jnp.float32)
+    zn = jnp.zeros((plan.nv,), jnp.float32)
     ref = jax.vmap(
-        lambda QM, J, A, D, MU, F, W, HD: op(QM, J, A, D, MU, F, W, tol, HD)
+        lambda QM, J, A, D, MU, F, W, HD: op(
+            QM, J, A, D, MU, F, W, tol, HD, z6, z6, znn, zn
+        )
     )(qm, j, aref, d_rows, mu_t, qfrc, warm, hd)
     out = cg_solver_kernel._ell_cg_solve_tpu(
         qm, j, aref, d_rows, mu_t, qfrc, warm, tol, hd=hd,
@@ -533,3 +538,62 @@ def test_elliptic_cg_kernel_fused_euler_solve(cg_fly):
     b = np.asarray(ref[4], np.float64)
     err = np.abs(a - b).max() / max(1.0, np.abs(b).max())
     assert err < 1e-3, f"qacc_eff rel err {err:.2e}"
+
+
+def test_elliptic_cg_kernel_qm_build_matches_dense(cg_fly):
+    """The elliptic kernel's in-VMEM qM assembly from CRB factors must match
+    the dense-qM path at f32-roundoff level (round-4, mirrors the scalar
+    kernel's test)."""
+    from track_mjx_tpu.physics import forward as fwd3
+
+    m, plan, model = cg_fly
+    rng = np.random.RandomState(11)
+    n_envs = 3
+    qpos = np.tile(m.qpos0, (n_envs, 1))
+    qpos[:, 2] -= rng.uniform(0.0003, 0.0008, n_envs)
+    qpos[:, 7:] += rng.uniform(-0.04, 0.04, (n_envs, m.nq - 7))
+    qvel = rng.uniform(-0.2, 0.2, (n_envs, m.nv))
+    ctrl = rng.uniform(-0.3, 0.3, (n_envs, m.nu))
+    warm = jnp.asarray(rng.uniform(-0.5, 0.5, (n_envs, m.nv)), jnp.float32)
+
+    def stages(qpos, qvel, ctrl):
+        data = pm.make_data(plan, model)
+        data = data.replace(qpos=qpos, qvel=qvel, ctrl=ctrl)
+        data, efc = fwd3.fwd_position(plan, model, data)
+        data = fwd3.fwd_velocity(plan, model, data)
+        data = fwd3.fwd_actuation(plan, model, data)
+        data = fwd3.fwd_acceleration(plan, model, data)
+        mu_t = efc.ell_mu * jax.lax.rsqrt(
+            jnp.maximum(model.opt_impratio, 1e-12)
+        )
+        return (
+            data.qM, data.crb_buf, data.cdof, efc.J, efc.aref, efc.D, mu_t,
+            data.qfrc_smooth,
+        )
+
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    qm, buf, cdof, j, aref, d_rows, mu_t, qfrc = jax.jit(jax.vmap(stages))(
+        f32(qpos), f32(qvel), f32(ctrl)
+    )
+    tol = jnp.asarray(m.opt.tolerance, jnp.float32)
+    ns = plan.nefc - 3 * plan.ncon_ell
+    anc = jnp.asarray(plan.ancestry_mask, jnp.float32)
+    arm = jnp.asarray(model.dof_armature, jnp.float32)
+
+    dense = cg_solver_kernel._ell_cg_solve_tpu(
+        qm, j, aref, d_rows, mu_t, qfrc, warm, tol,
+        ns=ns, ncon_ell=plan.ncon_ell,
+        iterations=1, ls_iterations=_ELL_LS_ITERS, interpret=True,
+    )
+    built = cg_solver_kernel._ell_cg_solve_tpu(
+        qm, j, aref, d_rows, mu_t, qfrc, warm, tol,
+        crb=(buf, cdof, anc, arm),
+        ns=ns, ncon_ell=plan.ncon_ell,
+        iterations=1, ls_iterations=_ELL_LS_ITERS, interpret=True,
+    )
+    names = ("qacc_smooth", "qacc", "efc_force", "qfrc_constraint")
+    for name, a, b in zip(names, built, dense):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        err = np.abs(a - b).max() / max(1.0, np.abs(b).max())
+        assert err < 2e-4, f"{name}: rel err {err:.2e}"

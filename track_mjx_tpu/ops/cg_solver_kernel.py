@@ -535,37 +535,89 @@ def _ell_cg_kernel(
     ns: int,  # padded scalar-row count (multiple of 8)
     c: int,  # padded cone-block count (multiple of 8)
     with_euler: bool,
-    qm_ref,
-    j_ref,
-    aref_ref,
-    d_ref,
-    mu_ref,
-    qfrc_smooth_ref,
-    warm_ref,
-    tolscale_ref,
-    hd_ref,
-    x_ref,
-    force_ref,
-    qfrc_ref,
-    smooth_out_ref,
-    eff_ref,
-    jar_ref,
-    grad_ref,
-    mgrad_ref,
-    p_ref,
-    imp_ref,
-    sol_ref,
-    l_ref,
-    lt_ref,
+    with_qm_build: bool,
+    *refs,
 ):
     """Row layout (host-permuted, see _ell_cg_solve_tpu): rows [0:ns] are
     unilateral scalar rows, then three c-row sections holding every cone
     block's normal / tangent1 / tangent2 row. Padding rows carry D == 0 (and
     mu == 1), which zeroes their force, cost, and curvature contributions in
-    every zone, so the padded solve equals the unpadded one exactly."""
-    n = qm_ref.shape[0]
+    every zone, so the padded solve equals the unpadded one exactly.
+
+    Like the scalar kernel, with_qm_build swaps the dense qM input for the
+    CRB factors and assembles qM in VMEM (the dense matrix stays live in a
+    scratch — matv_m reads it directly in this variant)."""
+    if with_qm_build:
+        (
+            buf_ref,
+            cdof_ref,
+            anc_ref,
+            arm_ref,
+            j_ref,
+            aref_ref,
+            d_ref,
+            mu_ref,
+            qfrc_smooth_ref,
+            warm_ref,
+            tolscale_ref,
+            hd_ref,
+            x_ref,
+            force_ref,
+            qfrc_ref,
+            smooth_out_ref,
+            eff_ref,
+            jar_ref,
+            grad_ref,
+            mgrad_ref,
+            p_ref,
+            imp_ref,
+            sol_ref,
+            l_ref,
+            lt_ref,
+            qm_ref,  # scratch in this layout
+        ) = refs
+        n = l_ref.shape[0]
+    else:
+        (
+            qm_ref,
+            j_ref,
+            aref_ref,
+            d_ref,
+            mu_ref,
+            qfrc_smooth_ref,
+            warm_ref,
+            tolscale_ref,
+            hd_ref,
+            x_ref,
+            force_ref,
+            qfrc_ref,
+            smooth_out_ref,
+            eff_ref,
+            jar_ref,
+            grad_ref,
+            mgrad_ref,
+            p_ref,
+            imp_ref,
+            sol_ref,
+            l_ref,
+            lt_ref,
+        ) = refs
+        n = qm_ref.shape[0]
     row_n = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
     col_n = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+    if with_qm_build:
+        full = buf_ref[:, 0, :][:, None, :] * cdof_ref[:, 0, :][None, :, :]
+        for k in range(1, buf_ref.shape[1]):
+            full = full + (
+                buf_ref[:, k, :][:, None, :] * cdof_ref[:, k, :][None, :, :]
+            )
+        lower = full * anc_ref[:][:, :, None]
+        qm = (
+            lower
+            + jnp.swapaxes(lower, 0, 1)
+            - jnp.where(row_n == col_n, lower, 0.0)
+        )
+        qm_ref[:] = qm + jnp.where(row_n == col_n, arm_ref[:][:, None, :], 0.0)
     l_ref[:] = qm_ref[:]
     factor_in_place(l_ref)
     l_ref[:] = jnp.where(row_n >= col_n, l_ref[:], 0.0)
@@ -848,7 +900,7 @@ def _ell_layout(ns: int, ncon_ell: int):
     static_argnames=("ns", "ncon_ell", "iterations", "ls_iterations", "interpret"),
 )
 def _ell_cg_solve_tpu(
-    qm, j, aref, d, mu, qfrc_smooth, warm, tol, hd=None, *,
+    qm, j, aref, d, mu, qfrc_smooth, warm, tol, hd=None, crb=None, *,
     ns, ncon_ell, iterations, ls_iterations, interpret=False,
 ):
     """Batch-first [B, ...] inputs (interleaved row order, as assembled by
@@ -869,18 +921,35 @@ def _ell_cg_solve_tpu(
     d_p = d[:, gather] * keep[None, :]  # D == 0 makes padding rows inert
     mu_sec = jnp.pad(mu, ((0, 0), (0, c_p - ncon_ell)), constant_values=1.0)
 
-    qm_nn = _pad_tiles(jnp.moveaxis(qm, 0, -1), LANE_TILE)
+    with_qm_build = crb is not None
     j_en = _pad_tiles(jnp.moveaxis(j_p, 0, -1), LANE_TILE)
     aref_e = _pad_tiles(jnp.moveaxis(aref_p, 0, -1), LANE_TILE)
     d_e = _pad_tiles(jnp.moveaxis(d_p, 0, -1), LANE_TILE)
     mu_c = _pad_tiles(jnp.moveaxis(mu_sec, 0, -1), LANE_TILE)
     qfrc_n = _pad_tiles(jnp.moveaxis(qfrc_smooth, 0, -1), LANE_TILE)
     warm_n = _pad_tiles(jnp.moveaxis(warm, 0, -1), LANE_TILE)
-    scale = jnp.maximum(
-        jnp.sum(jnp.diagonal(qm, axis1=1, axis2=2), axis=-1), _EPS
-    )
+    if with_qm_build:
+        buf, cdof, anc, arm = crb
+        kpad = (-buf.shape[-1]) % _SUBLANE
+        buf = jnp.pad(buf, ((0, 0), (0, 0), (0, kpad)))
+        cdof = jnp.pad(cdof, ((0, 0), (0, 0), (0, kpad)))
+        buf_nk = _pad_tiles(jnp.moveaxis(buf, 0, -1), LANE_TILE)
+        cdof_nk = _pad_tiles(jnp.moveaxis(cdof, 0, -1), LANE_TILE)
+        anc_nn = jnp.asarray(anc, dtype)
+        arm_n = _pad_tiles(
+            jnp.broadcast_to(arm.astype(dtype)[:, None], (n, bsz)), LANE_TILE
+        )
+        scale = jnp.maximum(
+            jnp.sum(buf * cdof, axis=(-2, -1)) + jnp.sum(arm), _EPS
+        )
+        qm_nn = None
+    else:
+        qm_nn = _pad_tiles(jnp.moveaxis(qm, 0, -1), LANE_TILE)
+        scale = jnp.maximum(
+            jnp.sum(jnp.diagonal(qm, axis1=1, axis2=2), axis=-1), _EPS
+        )
     tolscale_1 = _pad_tiles((tol.astype(dtype) * scale)[None, :], LANE_TILE)
-    tiles = qm_nn.shape[-1] // LANE_TILE
+    tiles = j_en.shape[-1] // LANE_TILE
 
     with_euler = hd is not None
     hd_n = _pad_tiles(
@@ -891,7 +960,8 @@ def _ell_cg_solve_tpu(
     )
 
     kernel = functools.partial(
-        _ell_cg_kernel, iterations, ls_iterations, ns_p, c_p, with_euler
+        _ell_cg_kernel, iterations, ls_iterations, ns_p, c_p, with_euler,
+        with_qm_build,
     )
 
     def lanes(rows):
@@ -904,6 +974,32 @@ def _ell_cg_solve_tpu(
             (a, b, LANE_TILE), lambda i: (0, 0, i), memory_space=pltpu.VMEM
         )
 
+    common_in_specs = [
+        lanes3(e_p, n),  # J (sectioned)
+        lanes(e_p),  # aref
+        lanes(e_p),  # D
+        lanes(c_p),  # mu
+        lanes(n),  # qfrc_smooth
+        lanes(n),  # warmstart
+        lanes(1),  # tol * scale
+        lanes(n),  # h * dof_damping (euler shift)
+    ]
+    common_inputs = (j_en, aref_e, d_e, mu_c, qfrc_n, warm_n, tolscale_1, hd_n)
+    if with_qm_build:
+        kk = buf_nk.shape[1]
+        in_specs = [
+            lanes3(n, kk),  # crb buf
+            lanes3(n, kk),  # cdof
+            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            lanes(n),  # armature
+        ] + common_in_specs
+        inputs = (buf_nk, cdof_nk, anc_nn, arm_n) + common_inputs
+        extra_scratch = [pltpu.VMEM((n, n, LANE_TILE), dtype)]  # built qM
+    else:
+        in_specs = [lanes3(n, n)] + common_in_specs  # dense qM
+        inputs = (qm_nn,) + common_inputs
+        extra_scratch = []
+
     xs, fs, qs, sm, eff = pl.pallas_call(
         kernel,
         grid=(tiles,),
@@ -914,17 +1010,7 @@ def _ell_cg_solve_tpu(
             jax.ShapeDtypeStruct((n, tiles * LANE_TILE), dtype),
             jax.ShapeDtypeStruct((n, tiles * LANE_TILE), dtype),
         ),
-        in_specs=[
-            lanes3(n, n),  # qM
-            lanes3(e_p, n),  # J (sectioned)
-            lanes(e_p),  # aref
-            lanes(e_p),  # D
-            lanes(c_p),  # mu
-            lanes(n),  # qfrc_smooth
-            lanes(n),  # warmstart
-            lanes(1),  # tol * scale
-            lanes(n),  # h * dof_damping (euler shift)
-        ],
+        in_specs=in_specs,
         out_specs=(lanes(n), lanes(e_p), lanes(n), lanes(n), lanes(n)),
         scratch_shapes=[
             pltpu.VMEM((e_p, LANE_TILE), dtype),  # jar
@@ -935,12 +1021,13 @@ def _ell_cg_solve_tpu(
             pltpu.VMEM((n, LANE_TILE), dtype),  # substitution state
             pltpu.VMEM((n, n, LANE_TILE), dtype),  # L
             pltpu.VMEM((n, n, LANE_TILE), dtype),  # L^T
-        ],
+        ]
+        + extra_scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
-    )(qm_nn, j_en, aref_e, d_e, mu_c, qfrc_n, warm_n, tolscale_1, hd_n)
+    )(*inputs)
 
     def unlane(t):  # (rows, tiles*T) -> (B, rows)
         return jnp.moveaxis(t, 0, -1)[:bsz]

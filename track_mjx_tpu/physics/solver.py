@@ -209,11 +209,17 @@ def fused_cg(plan: PhysicsPlan) -> bool:
 
 
 def fused_euler(plan: PhysicsPlan) -> bool:
-    """True when the fused CG op (scalar or elliptic) also performs the
-    Euler integrator's implicit-damping solve (M + h diag(damping))^-1 in
-    the same kernel invocation, exported as data.qacc_eff — forward.euler()
-    must consume it instead of dispatching a second factorization."""
-    return fused_cg(plan) and plan.integrator == 0  # forward.INT_EULER
+    """True when the fused CG op also performs the Euler integrator's
+    implicit-damping solve (M + h diag(damping))^-1 in the same kernel
+    invocation, exported as data.qacc_eff — forward.euler() must consume it
+    instead of dispatching a second factorization.
+
+    Scalar plans only (the rodent: measured +0.7% there). The elliptic
+    mirror is implemented and parity-tested but measured a 15% REGRESSION
+    on the fly (50.5k vs 59.8k sps): at nv=42 the kernel's serialized
+    in-kernel substitution loses to the batched solve_spd dispatch it
+    replaces, so elliptic plans keep the separate integrator solve."""
+    return fused_scalar_cg(plan) and plan.integrator == 0  # forward.INT_EULER
 
 
 def _smooth_scalar_cg_single(
@@ -615,7 +621,9 @@ def _make_elliptic_cg_op(
     )
     n_out = 5 if with_euler else 4
 
-    def plain(qm, j, aref, d, mu_t, qfrc_smooth, warm, tol, hd):
+    def plain(qm, j, aref, d, mu_t, qfrc_smooth, warm, tol, hd, buf, cdof, anc, arm):
+        # the dense path consumes qM directly; the CRB factors feed only the
+        # TPU kernel's in-VMEM assembly (unused args DCE away)
         out = plain_(qm, j, aref, d, mu_t, qfrc_smooth, warm, tol)
         if not with_euler:
             return out
@@ -627,21 +635,31 @@ def _make_elliptic_cg_op(
         return smooth, x, force, qfrc, eff
 
     @jax.custom_batching.custom_vmap
-    def op(qm, j, aref, d, mu_t, qfrc_smooth, warm, tol, hd):
-        return plain(qm, j, aref, d, mu_t, qfrc_smooth, warm, tol, hd)
+    def op(qm, j, aref, d, mu_t, qfrc_smooth, warm, tol, hd, buf, cdof, anc, arm):
+        return plain(
+            qm, j, aref, d, mu_t, qfrc_smooth, warm, tol, hd, buf, cdof, anc, arm
+        )
 
     @op.def_vmap
     def _vmap(
-        axis_size, in_batched, qm, j, aref, d, mu_t, qfrc_smooth, warm, tol, hd
+        axis_size, in_batched, qm, j, aref, d, mu_t, qfrc_smooth, warm, tol,
+        hd, buf, cdof, anc, arm,
     ):
-        args = [qm, j, aref, d, mu_t, qfrc_smooth, warm, tol, hd]
+        args = [
+            qm, j, aref, d, mu_t, qfrc_smooth, warm, tol, hd, buf, cdof, anc, arm
+        ]
         # mu_t and tol derive from model constants and may trace unbatched;
         # the per-env state operands decide kernel dispatch
         core = [in_batched[i] for i in (0, 1, 2, 3, 5, 6)]
         n = qfrc_smooth.shape[-1]
         nefc = aref.shape[-1]
         ns = nefc - 3 * ncon_ell
-        if all(core) and cg_solver_kernel.ell_kernel_available(n, ns, ncon_ell):
+        if (
+            all(core)
+            and in_batched[9]
+            and in_batched[10]
+            and cg_solver_kernel.ell_kernel_available(n, ns, ncon_ell)
+        ):
             mu_b = (
                 mu_t
                 if in_batched[4]
@@ -653,9 +671,12 @@ def _make_elliptic_cg_op(
                 if in_batched[8]
                 else jnp.broadcast_to(hd, (axis_size,) + jnp.shape(hd))
             )
+            anc_u = anc[0] if in_batched[11] else anc
+            arm_u = arm[0] if in_batched[12] else arm
             out = cg_solver_kernel._ell_cg_solve_tpu(
                 qm, j, aref, d, mu_b, qfrc_smooth, warm, tol_scalar,
                 hd=hd_b if with_euler else None,
+                crb=(buf, cdof, anc_u, arm_u),
                 ns=ns, ncon_ell=ncon_ell,
                 iterations=iterations, ls_iterations=ls_iterations,
             )
@@ -850,6 +871,10 @@ def solve(
             data.qacc_warmstart,
             model.opt_tolerance,
             (model.opt_timestep * model.dof_damping).astype(dtype),
+            data.crb_buf,
+            data.cdof,
+            jnp.asarray(plan.ancestry_mask, dtype),
+            model.dof_armature.astype(dtype),
         )
         smooth, x, force, qfrc = out[:4]
         data = data.replace(
