@@ -116,9 +116,13 @@ def fluid(plan: PhysicsPlan, model: Model, data: Data) -> jax.Array:
     )
     lfrc_ang = lfrc_ang - dens * ang_coef * jnp.abs(lw) * lw
 
-    # rotate wrench to world, move to the com reference point
-    torque_w = jnp.einsum("bjk,bk->bj", data.ximat, lfrc_ang)
-    force_w = jnp.einsum("bjk,bk->bj", data.ximat, lfrc_lin)
+    # rotate wrench to world, move to the com reference point. The k=3
+    # contractions run as fused VPU multiply-reduces: einsum/@ here lowers
+    # to MXU-padded tiny dot_generals at 6-pass "highest" precision
+    # (measured 4% of the fly's rollout — same pathology as the contact
+    # projection, constraint.py `project`)
+    torque_w = jnp.sum(data.ximat * lfrc_ang[:, None, :], axis=-1)
+    force_w = jnp.sum(data.ximat * lfrc_lin[:, None, :], axis=-1)
     torque_com = torque_w + jnp.cross(data.xipos - root_com, force_w)
     wrench = jnp.concatenate([torque_com, force_w], axis=1)  # (nbody, 6)
     # massless bodies contribute nothing (MuJoCo skips them)
@@ -126,7 +130,9 @@ def fluid(plan: PhysicsPlan, model: Model, data: Data) -> jax.Array:
 
     # qfrc[i] = sum_b mask[b, i] * cdof[i] . wrench[b]
     mask = jnp.asarray(_body_dof_mask(plan), dtype=dtype)  # (nbody, nv)
-    dots = data.cdof @ wrench.T  # (nv, nbody)
+    dots = jnp.sum(
+        data.cdof[:, None, :] * wrench[None, :, :], axis=-1
+    )  # (nv, nbody)
     return jnp.sum(dots * mask.T, axis=1).astype(dtype)
 
 
