@@ -214,12 +214,11 @@ def fused_euler(plan: PhysicsPlan) -> bool:
     invocation, exported as data.qacc_eff — forward.euler() must consume it
     instead of dispatching a second factorization.
 
-    Scalar plans only (the rodent: measured +0.7% there). The elliptic
-    mirror is implemented and parity-tested but measured a 15% REGRESSION
-    on the fly (50.5k vs 59.8k sps): at nv=42 the kernel's serialized
-    in-kernel substitution loses to the batched solve_spd dispatch it
-    replaces, so elliptic plans keep the separate integrator solve."""
-    return fused_scalar_cg(plan) and plan.integrator == 0  # forward.INT_EULER
+    Covers both fused variants. History: with the original per-row
+    substitution the elliptic mirror measured a 15% fly regression and was
+    gated to scalar-only; the blocked substitution (round 4, late) removed
+    the cause and the elliptic arm re-measured as a win."""
+    return fused_cg(plan) and plan.integrator == 0  # forward.INT_EULER
 
 
 def _smooth_scalar_cg_single(
