@@ -218,25 +218,29 @@ def _cg_kernel(
     def psum(x):  # reduce rows -> (1, T)
         return jnp.sum(x, axis=0, keepdims=True)
 
-    def cost(x):  # (1, T)
-        dx = x - smooth
-        jar = matv_j(x) - aref
-        quad = 0.5 * psum(dx * matv_m(dx))
-        return quad + 0.5 * psum(
-            jnp.where(jar < 0, d_rows * jar * jar, 0.0)
-        )
-
     def force_of(jar):
         return jnp.where(jar < 0, -d_rows * jar, 0.0)
 
     def grad_of(x, jar):
         return matv_m(x - smooth) - matv_jt(force_of(jar))
 
-    # warmstart vs smooth start: take the cheaper per lane
+    def cost_rows(jar):  # (1, T)
+        return 0.5 * psum(jnp.where(jar < 0, d_rows * jar * jar, 0.0))
+
+    # Warmstart vs smooth start: take the cheaper per lane. cost(smooth)'s
+    # quadratic term is identically zero (dx = 0 -> psum(0 * M 0) = 0.0
+    # exactly), so only its constraint rows are evaluated; and both
+    # candidates' jar is kept so jar0 is a where-select — bit-identical to
+    # matv_j(x0) since x0 IS one of the candidates — instead of a third
+    # (e, n, T) contraction. Saves one matv_m + one matv_j of fixed cost.
     warm, sm = warm_ref[:], smooth
-    take_warm = cost(warm) < cost(sm)  # (1, T)
+    jar_warm = matv_j(warm) - aref
+    dxw = warm - sm
+    cost_warm = 0.5 * psum(dxw * matv_m(dxw)) + cost_rows(jar_warm)
+    jar_sm = matv_j(sm) - aref
+    take_warm = cost_warm < cost_rows(jar_sm)  # (1, T)
     x0 = jnp.where(take_warm, warm, sm)
-    jar0 = matv_j(x0) - aref
+    jar0 = jnp.where(take_warm, jar_warm, jar_sm)
     grad0 = grad_of(x0, jar0)
     mgrad0 = chosolve(grad0)
 
@@ -246,12 +250,14 @@ def _cg_kernel(
     # the iteration loop body trips a Mosaic relayout failure, as does
     # capturing the reduced value across the fori_loop region boundary.
 
-    def linesearch(x, p):
+    def linesearch(x, p, jarx):
+        # jarx = J x - aref is passed in from jar_ref (bit-identical to
+        # recomputing it: the stored value was produced by matv_j on the
+        # same x) — drops one (e, n, T) contraction per CG iteration.
         mp = matv_m(p)
         pmp = psum(p * mp)
         dmx = psum(mp * (x - smooth))  # p^T M (x - smooth), M symmetric
         jp = matv_j(p)
-        jarx = matv_j(x) - aref
 
         def phi_derivs(alpha):
             jar = jarx + alpha * jp
@@ -291,7 +297,7 @@ def _cg_kernel(
     def iteration(_, tok):
         x, p = x_ref[:], p_ref[:]
         grad, mgrad = grad_ref[:], mgrad_ref[:]
-        alpha = linesearch(x, p) * imp_ref[:]
+        alpha = linesearch(x, p, jar_ref[:]) * imp_ref[:]
         x = x + alpha * p
         jar = matv_j(x) - aref
         gradn = grad_of(x, jar)
@@ -680,37 +686,41 @@ def _ell_cg_kernel(
         c_blk = jnp.where(bottom, quad, jnp.where(top, zero, mid))
         return cs + psum(c_blk)
 
-    def cost(x):  # full objective -> (1, T)
-        dx = x - smooth
-        jar = matv_j(x) - aref
-        return 0.5 * psum(dx * matv_m(dx)) + cost_rows(jar)
-
     def grad_of(x, jar):
         jar_s, u_n, u_t1, u_t2 = split(jar)
         f_s = jnp.where(jar_s < 0, -d_s * jar_s, 0.0)
         f_n, f_t1, f_t2 = force_blocks(u_n, u_t1, u_t2)
         return matv_m(x - smooth) - matv_jt(f_s, f_n, f_t1, f_t2)
 
+    # Warmstart vs smooth start (see the scalar kernel): cost(smooth)'s
+    # quadratic term is identically zero, so only its constraint rows are
+    # evaluated, and jar0 is a where-select of the two candidates' jar —
+    # bit-identical to matv_j(x0), one less (e, n, T) contraction.
     warm = warm_ref[:]
-    take_warm = cost(warm) < cost(smooth)  # (1, T)
+    jar_warm = matv_j(warm) - aref
+    dxw = warm - smooth
+    cost_warm = 0.5 * psum(dxw * matv_m(dxw)) + cost_rows(jar_warm)
+    jar_sm = matv_j(smooth) - aref
+    take_warm = cost_warm < cost_rows(jar_sm)  # (1, T)
     x0 = jnp.where(take_warm, warm, smooth)
-    jar0 = matv_j(x0) - aref
+    jar0 = jnp.where(take_warm, jar_warm, jar_sm)
     grad0 = grad_of(x0, jar0)
     mgrad0 = chosolve(grad0)
 
     big = jnp.asarray(jnp.finfo(aref.dtype).max, aref.dtype)
 
-    def linesearch(x, p):
+    def linesearch(x, p, jarx):
         """Safeguarded Newton on phi(alpha) (solver.py _linesearch, elliptic
         branch): bracket [lo, hi] with phi'(lo) < 0 <= phi'(hi); Newton
         candidates outside fall back to bisection (or geometric expansion
         while no upper end is known); never accept a non-decreasing step.
-        Bracket state is (1, T) float-mask arithmetic, statically unrolled."""
+        Bracket state is (1, T) float-mask arithmetic, statically unrolled.
+        jarx = J x - aref is passed in from jar_ref (bit-identical to
+        recomputing it) — one less (e, n, T) contraction per iteration."""
         mp = matv_m(p)
         pmp = psum(p * mp)
         dmx = psum(mp * (x - smooth))
         jp = matv_j(p)
-        jarx = matv_j(x) - aref
         jp_s, jp_n, jp_t1, jp_t2 = split(jp)
         q_n = -sq_n * jp_n
         q_t1 = -sq_t1 * jp_t1
@@ -774,7 +784,7 @@ def _ell_cg_kernel(
     def iteration(_, tok):
         x, p = x_ref[:], p_ref[:]
         grad, mgrad = grad_ref[:], mgrad_ref[:]
-        alpha = linesearch(x, p) * imp_ref[:]
+        alpha = linesearch(x, p, jar_ref[:]) * imp_ref[:]
         x = x + alpha * p
         jar = matv_j(x) - aref
         gradn = grad_of(x, jar)
