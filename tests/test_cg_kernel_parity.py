@@ -443,7 +443,11 @@ def test_cg_kernel_fused_euler_solve(cg_rodent):
     a = np.asarray(out[4], np.float64)
     b = np.asarray(ref[4], np.float64)
     err = np.abs(a - b).max() / max(1.0, np.abs(b).max())
-    assert err < 1e-4, f"qacc_eff rel err {err:.2e}"
+    # 5e-4: qacc_eff inherits qfrc (pinned at 1e-3 in the main parity test),
+    # whose f32 roundoff grew slightly when the scalar iterations moved to
+    # MuJoCo-style incremental jar/Ma updates (documented difference,
+    # cg_solver_kernel.py module docstring); measured 1.3e-4.
+    assert err < 5e-4, f"qacc_eff rel err {err:.2e}"
     # the CG outputs must be untouched by the extra solve
     for name, x, y in zip(("smooth", "x", "force", "qfrc"), out[:4], ref[:4]):
         e = np.abs(np.asarray(x, np.float64) - np.asarray(y, np.float64)).max() / max(

@@ -39,9 +39,15 @@ raised via CompilerParams(vmem_limit_bytes).
 
 Algorithm parity: mirrors physics/solver.py's scalar path op-for-op (same
 fused where-sums in the linesearch derivatives, same freeze/beta logic).
-M @ v is computed as L (L^T v) from the factor instead of carrying a second
-copy of qM live; this is the only intentional numeric difference on the TPU
-path.
+One intentional numeric difference on the TPU path: the SCALAR variant's
+iterations advance jar = J x - aref and M (x - smooth) by incremental axpy
+updates (jar += alpha J p, mdx += alpha M p) off the linesearch's own
+products instead of fresh contractions — the same update order MuJoCo's CG
+uses for Jaref/Ma (engine_solver.c, mj_solCG), pinned against the unfused
+path at f32-roundoff tolerances by tests/test_cg_kernel_parity.py. The
+ELLIPTIC variant keeps fresh per-iteration contractions: its safeguarded
+linesearch's bracket decisions are discretely sensitive to the drift (a
+measured 2.7x optimality-gap regression on a deep-penetration env).
 """
 
 from __future__ import annotations
@@ -128,6 +134,7 @@ def _cg_kernel(
             sol_ref,
             l_ref,
             lt_ref,
+            mdx_ref,
             qm_ref,  # scratch in this layout
         ) = refs
         n = l_ref.shape[0]
@@ -154,6 +161,7 @@ def _cg_kernel(
             sol_ref,
             l_ref,
             lt_ref,
+            mdx_ref,
         ) = refs
         n = qm_ref.shape[0]
     # factor qM in VMEM (blocked right-looking; upper garbage masked out so
@@ -191,9 +199,14 @@ def _cg_kernel(
     def matv_jt(f):  # J^T f -> (n, T)
         return jnp.sum(j_ref[:] * f[:, None, :], axis=0)
 
-    def matv_m(v):  # M v = L (L^T v)
-        w = jnp.sum(l_ref[:] * v[:, None, :], axis=0)
-        return jnp.sum(l_ref[:] * w[None, :, :], axis=1)
+    def matv_m(v):
+        # M v from the live qM block: qm_ref is resident in BOTH layouts
+        # (input ref, or the CRB-built scratch the Euler refactor reads at
+        # the end), so reading it directly is ONE (n, n, T) contraction —
+        # the former L (L^T v) form paid two and was the path's one
+        # intentional numeric difference vs solver.py. Matches the
+        # elliptic variant now.
+        return jnp.sum(qm_ref[:] * v[None, :, :], axis=1)
 
     def chosolve(b):
         """(L L^T)^-1 b; result returned AND left in mgrad_ref (blocked
@@ -221,9 +234,6 @@ def _cg_kernel(
     def force_of(jar):
         return jnp.where(jar < 0, -d_rows * jar, 0.0)
 
-    def grad_of(x, jar):
-        return matv_m(x - smooth) - matv_jt(force_of(jar))
-
     def cost_rows(jar):  # (1, T)
         return 0.5 * psum(jnp.where(jar < 0, d_rows * jar * jar, 0.0))
 
@@ -232,16 +242,19 @@ def _cg_kernel(
     # exactly), so only its constraint rows are evaluated; and both
     # candidates' jar is kept so jar0 is a where-select — bit-identical to
     # matv_j(x0) since x0 IS one of the candidates — instead of a third
-    # (e, n, T) contraction. Saves one matv_m + one matv_j of fixed cost.
+    # (e, n, T) contraction. The cost eval's M dxw is likewise reused for
+    # mdx0 = M (x0 - smooth). Saves two matv_m + one matv_j of fixed cost.
     warm, sm = warm_ref[:], smooth
     jar_warm = matv_j(warm) - aref
     dxw = warm - sm
-    cost_warm = 0.5 * psum(dxw * matv_m(dxw)) + cost_rows(jar_warm)
+    mdxw = matv_m(dxw)
+    cost_warm = 0.5 * psum(dxw * mdxw) + cost_rows(jar_warm)
     jar_sm = matv_j(sm) - aref
     take_warm = cost_warm < cost_rows(jar_sm)  # (1, T)
     x0 = jnp.where(take_warm, warm, sm)
     jar0 = jnp.where(take_warm, jar_warm, jar_sm)
-    grad0 = grad_of(x0, jar0)
+    mdx0 = jnp.where(take_warm, mdxw, jnp.zeros_like(mdxw))
+    grad0 = mdx0 - matv_jt(force_of(jar0))
     mgrad0 = chosolve(grad0)
 
     # The convergence threshold tol * sum(diag M) is computed by XLA in the
@@ -250,14 +263,14 @@ def _cg_kernel(
     # the iteration loop body trips a Mosaic relayout failure, as does
     # capturing the reduced value across the fori_loop region boundary.
 
-    def linesearch(x, p, jarx):
-        # jarx = J x - aref is passed in from jar_ref (bit-identical to
-        # recomputing it: the stored value was produced by matv_j on the
-        # same x) — drops one (e, n, T) contraction per CG iteration.
-        mp = matv_m(p)
+    def linesearch(x, p, jarx, mp, jp):
+        # jarx = J x - aref comes from jar_ref (the stored value was
+        # produced on the same x); mp = M p and jp = J p are computed by
+        # the caller, which also needs them for the incremental post-step
+        # updates jar += alpha jp, M dx += alpha mp (MuJoCo's own CG
+        # updates Jaref/Ma the same way, engine_solver.c mj_solCG).
         pmp = psum(p * mp)
         dmx = psum(mp * (x - smooth))  # p^T M (x - smooth), M symmetric
-        jp = matv_j(p)
 
         def phi_derivs(alpha):
             jar = jarx + alpha * jp
@@ -293,20 +306,31 @@ def _cg_kernel(
     mgrad_ref[:] = mgrad0
     p_ref[:] = -mgrad0
     imp_ref[:] = jnp.ones_like(imp_ref)
+    mdx_ref[:] = mdx0
 
+    # Per-iteration contractions are the minimal set {M p, J p, J^T f} plus
+    # the chosolve: jar and M (x - smooth) advance by axpy updates off the
+    # linesearch's own mp/jp products instead of fresh (e, n, T)
+    # contractions (documented numeric difference #2 vs the unfused path —
+    # MuJoCo's CG advances Jaref/Ma identically, so this tracks the oracle,
+    # and a frozen lane's alpha == 0.0 leaves both exactly unchanged).
     def iteration(_, tok):
         x, p = x_ref[:], p_ref[:]
         grad, mgrad = grad_ref[:], mgrad_ref[:]
-        alpha = linesearch(x, p, jar_ref[:]) * imp_ref[:]
+        mp = matv_m(p)
+        jp = matv_j(p)
+        alpha = linesearch(x, p, jar_ref[:], mp, jp) * imp_ref[:]
         x = x + alpha * p
-        jar = matv_j(x) - aref
-        gradn = grad_of(x, jar)
+        jar = jar_ref[:] + alpha * jp
+        mdx = mdx_ref[:] + alpha * mp
+        gradn = mdx - matv_jt(force_of(jar))
         mgradn = chosolve(gradn)
         num = psum(gradn * (mgradn - mgrad))
         den = jnp.maximum(psum(grad * mgrad), _EPS)
         beta = jnp.maximum(0.0, num / den)
         x_ref[:] = x
         jar_ref[:] = jar
+        mdx_ref[:] = mdx
         grad_ref[:] = gradn
         mgrad_ref[:] = mgradn
         p_ref[:] = -mgradn + beta * p
@@ -474,6 +498,7 @@ def _cg_solve_tpu(
             pltpu.VMEM((n, LANE_TILE), dtype),  # substitution state
             pltpu.VMEM((n, n, LANE_TILE), dtype),  # L
             pltpu.VMEM((n, n, LANE_TILE), dtype),  # L^T
+            pltpu.VMEM((n, LANE_TILE), dtype),  # M (x - smooth)
         ]
         + extra_scratch,
         compiler_params=pltpu.CompilerParams(
@@ -686,25 +711,31 @@ def _ell_cg_kernel(
         c_blk = jnp.where(bottom, quad, jnp.where(top, zero, mid))
         return cs + psum(c_blk)
 
-    def grad_of(x, jar):
+    def grad_from(mdx, jar):
         jar_s, u_n, u_t1, u_t2 = split(jar)
         f_s = jnp.where(jar_s < 0, -d_s * jar_s, 0.0)
         f_n, f_t1, f_t2 = force_blocks(u_n, u_t1, u_t2)
-        return matv_m(x - smooth) - matv_jt(f_s, f_n, f_t1, f_t2)
+        return mdx - matv_jt(f_s, f_n, f_t1, f_t2)
 
     # Warmstart vs smooth start (see the scalar kernel): cost(smooth)'s
     # quadratic term is identically zero, so only its constraint rows are
-    # evaluated, and jar0 is a where-select of the two candidates' jar —
-    # bit-identical to matv_j(x0), one less (e, n, T) contraction.
+    # evaluated; jar0 and mdx0 = M (x0 - smooth) are where-selects of the
+    # cost eval's own products — two fewer fixed contractions. Unlike the
+    # scalar kernel the ITERATIONS keep fresh jar/M dx contractions: the
+    # safeguarded linesearch's bracket decisions are discretely sensitive
+    # to incremental-update drift (an A/B run converged 2.7x worse on a
+    # deep-penetration env, caught by the objective-parity test).
     warm = warm_ref[:]
     jar_warm = matv_j(warm) - aref
     dxw = warm - smooth
-    cost_warm = 0.5 * psum(dxw * matv_m(dxw)) + cost_rows(jar_warm)
+    mdxw = matv_m(dxw)
+    cost_warm = 0.5 * psum(dxw * mdxw) + cost_rows(jar_warm)
     jar_sm = matv_j(smooth) - aref
     take_warm = cost_warm < cost_rows(jar_sm)  # (1, T)
     x0 = jnp.where(take_warm, warm, smooth)
     jar0 = jnp.where(take_warm, jar_warm, jar_sm)
-    grad0 = grad_of(x0, jar0)
+    mdx0 = jnp.where(take_warm, mdxw, jnp.zeros_like(mdxw))
+    grad0 = grad_from(mdx0, jar0)
     mgrad0 = chosolve(grad0)
 
     big = jnp.asarray(jnp.finfo(aref.dtype).max, aref.dtype)
@@ -787,7 +818,7 @@ def _ell_cg_kernel(
         alpha = linesearch(x, p, jar_ref[:]) * imp_ref[:]
         x = x + alpha * p
         jar = matv_j(x) - aref
-        gradn = grad_of(x, jar)
+        gradn = grad_from(matv_m(x - smooth), jar)
         mgradn = chosolve(gradn)
         num = psum(gradn * (mgradn - mgrad))
         den = jnp.maximum(psum(grad * mgrad), _EPS)
