@@ -77,6 +77,18 @@ class EfcData:
     # Elliptic block rows carry (0, BIG) but are handled by the cone math.
     fmin: jax.Array  # (nefc,)
     fmax: jax.Array  # (nefc,)
+    # Compact J-row operands for the fused TPU solve's in-VMEM J build
+    # (round 4): J[limit l] = side_l * onehot(dofadr_l); J[contact c, dir k]
+    # = (frame[c,k] . s[d] + (pos x frame)[c,k] . w[d]) * diff_mask[c,d]
+    # with s = cdof_lin - cross(cdof_ang, root com), w = cdof_ang. The
+    # kernel rebuilds rows from these (plus the STATIC diff_mask / limit
+    # one-hot tables derived from the plan), so the dense J above — whose
+    # only other consumer, jv for aref, reads these operands too — is
+    # dead-code-eliminated by XLA on the fused TPU path. None when the
+    # plan's row structure doesn't support the in-kernel build.
+    jb_sw: jax.Array | None = None  # (nv, 6) [s | w]
+    jb_fq: jax.Array | None = None  # (ncon, 3, 6) [frame | pos x frame], active-masked
+    jb_ll: jax.Array | None = None  # (nlimit,) side * active
 
 
 def _kbi(
@@ -395,6 +407,7 @@ def make_constraint(
     rows_J, rows_aref, rows_D, rows_pos, rows_act = [], [], [], [], []
     rows_fmin, rows_fmax = [], []
     ell_mu = jnp.zeros(0, dtype)
+    jb_sw = jb_fq = jb_ll = None
 
     def push(J, aref, D, pos, act, fmin, fmax):
         rows_J.append(J)
@@ -442,8 +455,14 @@ def make_constraint(
         J = jnp.where(active[:, None], J, 0.0)
 
         k, b, imp = _kbi(model, model.jnt_solref[jids], model.jnt_solimp[jids], pos)
-        jv = _mv(J, data.qvel)
+        # jv without touching J: a one-hot row dotted with qvel is exactly
+        # side * qvel[dofadr] (bit-identical — the masked row's other
+        # products are 0.0 and x + 0.0 == x in f32), and keeping J out of
+        # the jv dataflow lets XLA drop the dense row build entirely when
+        # the fused solve assembles J in VMEM (jb_* operands below).
+        jv = side * data.qvel[dadr]
         aref = -b * jv - k * imp * pos
+        jb_ll = jnp.where(active, side, 0.0)
         invweight = model.dof_invweight0[dadr]
         D = imp / jnp.maximum((1.0 - imp) * invweight, 1e-12)
 
@@ -483,6 +502,30 @@ def make_constraint(
         ]  # (ncon, 3, nv)
         jn = jfr[:, 0]  # normal rows
         jt = jfr[:, 1:]  # (ncon, 2, nv)
+
+        # jv for the frame rows WITHOUT reading jfr: fold qvel and the
+        # (static) diff_mask into per-contact 3-vectors first —
+        #   jv[c,k] = sum_d jfr[c,k,d] qvel[d]
+        #           = frame[c,k] . (dm[c] (s*qvel)) + (p x frame)[c,k] . (dm[c] (w*qvel))
+        # This keeps the materialized J/jfr out of every aref below, so the
+        # whole dense build DCEs away when the fused TPU solve assembles J
+        # in VMEM from the compact jb_* operands (reassociated sum — covered
+        # by the golden regen noted in the commit).
+        sqv = s * data.qvel[:, None]  # (nv, 3)
+        wqv = w * data.qvel[:, None]
+        sv = jnp.sum(diff_mask[:, :, None] * sqv[None, :, :], axis=1)
+        wv = jnp.sum(diff_mask[:, :, None] * wqv[None, :, :], axis=1)
+        jv3 = _mv(contact.frame, sv[:, None, :]) + _mv(q, wv[:, None, :])
+        # rotational directions (condim 4/6): jrot[c,k] . qvel = frame[c,k] . wv
+        jv_rot = _mv(contact.frame, wv[:, None, :])
+
+        pos = contact.dist - contact.includemargin
+        active = contact.dist < contact.includemargin
+        # compact J-build operands for the fused TPU solve (see EfcData)
+        jb_sw = jnp.concatenate([s, w], axis=1)  # (nv, 6)
+        jb_fq = jnp.concatenate([contact.frame, q], axis=-1) * active[
+            :, None, None
+        ].astype(dtype)
         # rotational rows (torsional/rolling friction, condim 4/6): the
         # angular jacobian difference projected on the contact frame
         if plan.condim > 3:
@@ -491,8 +534,6 @@ def make_constraint(
         else:
             jdirs = jt
 
-        pos = contact.dist - contact.includemargin
-        active = contact.dist < contact.includemargin
         k, b, imp = _kbi(model, contact.solref, contact.solimp, pos)
 
         invweight_n = (
@@ -505,7 +546,7 @@ def make_constraint(
 
         if len(cd1):
             J = jnp.where(active[cd1, None], jn[cd1], 0.0)
-            jv = _mv(J, data.qvel)
+            jv = jv3[cd1, 0]
             aref = jnp.where(active[cd1], -b[cd1] * jv - k[cd1] * imp[cd1] * pos[cd1], 0.0)
             D = imp[cd1] / jnp.maximum(
                 (1.0 - imp[cd1]) * invweight_n[cd1], 1e-12
@@ -518,7 +559,7 @@ def make_constraint(
             jn3, jt3 = jn[cd3], jt[cd3]
             J = jnp.concatenate([jn3[:, None], jt3], axis=1)  # (n3, 3, nv)
             J = jnp.where(active[cd3, None, None], J, 0.0)
-            jv = _mv(J, data.qvel)
+            jv = jnp.where(active[cd3, None], jv3[cd3], 0.0)
             aref = -b[cd3, None] * jv
             # normal row gets the position feedback term; friction rows don't
             aref = aref.at[:, 0].add(-k[cd3] * imp[cd3] * pos[cd3])
@@ -561,7 +602,24 @@ def make_constraint(
                     pyr.append(jng - mu[:, i : i + 1] * jdg[:, i])
                 J = jnp.stack(pyr, axis=1)  # (ng, 2*nfr, nv)
                 J = jnp.where(active[grp, None, None], J, 0.0)
-                jv = _mv(J, data.qvel)
+                # pyramid jv from the base-direction jv's (J is linear in
+                # them): rows are jvn +/- mu_i * jv_dir_i
+                jv_dirs = jnp.concatenate(
+                    [jv3[grp, 1:], jv_rot[grp, : nfr - 2]], axis=1
+                ) if nfr > 2 else jv3[grp, 1 : 1 + nfr]
+                jvn = jv3[grp, 0]
+                jv = jnp.stack(
+                    sum(
+                        (
+                            [jvn + mu[:, i] * jv_dirs[:, i],
+                             jvn - mu[:, i] * jv_dirs[:, i]]
+                            for i in range(nfr)
+                        ),
+                        [],
+                    ),
+                    axis=1,
+                )  # (ng, 2*nfr)
+                jv = jnp.where(active[grp, None], jv, 0.0)
                 aref = (
                     -b[grp, None] * jv - (k[grp] * imp[grp] * pos[grp])[:, None]
                 )
@@ -609,4 +667,7 @@ def make_constraint(
         ell_mu=ell_mu,
         fmin=jnp.concatenate(rows_fmin),
         fmax=jnp.concatenate(rows_fmax),
+        jb_sw=jb_sw,
+        jb_fq=jb_fq,
+        jb_ll=jb_ll,
     )
