@@ -100,70 +100,49 @@ def _cg_kernel(
     ls_iterations: int,
     with_euler: bool,
     with_qm_build: bool,
+    jb_dims,
     *refs,
 ):
-    # Two input layouts: the classic one takes dense qM; the qm-build one
+    # Input layouts: the classic one takes dense qM; the qm-build one
     # (round 4) takes the CRB factors buf/cdof (nv, 8-padded 6, T) plus the
     # static ancestry mask and armature, and assembles qM IN VMEM — 5.6x
     # less HBM traffic than the dense matrix, and the XLA-side dense
     # assembly (dot_general + transpose, ~2.5s/28s of a training step) gets
-    # dead-code-eliminated on the scan-carried substeps.
+    # dead-code-eliminated on the scan-carried substeps. With jb_dims =
+    # (nl_p, c_p) the J block is likewise ASSEMBLED IN VMEM (limit one-hot
+    # rows + pyramid rows from the frame/point-jacobian operands, sectioned
+    # [limits | +t1 | -t1 | +t2 | -t2]) from compact per-contact operands —
+    # the dense (nefc, nv) J never exists in HBM and make_constraint's row
+    # materialization DCEs away.
+    refs = list(refs)
+    take = lambda: refs.pop(0)
     if with_qm_build:
-        (
-            buf_ref,
-            cdof_ref,
-            anc_ref,
-            arm_ref,
-            j_ref,
-            aref_ref,
-            d_ref,
-            qfrc_smooth_ref,
-            warm_ref,
-            tolscale_ref,
-            hd_ref,
-            x_ref,
-            force_ref,
-            qfrc_ref,
-            smooth_out_ref,
-            eff_ref,
-            jar_ref,
-            grad_ref,
-            mgrad_ref,
-            p_ref,
-            imp_ref,
-            sol_ref,
-            l_ref,
-            lt_ref,
-            mdx_ref,
-            qm_ref,  # scratch in this layout
-        ) = refs
-        n = l_ref.shape[0]
+        buf_ref, cdof_ref, anc_ref, arm_ref = take(), take(), take(), take()
     else:
-        (
-            qm_ref,
-            j_ref,
-            aref_ref,
-            d_ref,
-            qfrc_smooth_ref,
-            warm_ref,
-            tolscale_ref,
-            hd_ref,
-            x_ref,
-            force_ref,
-            qfrc_ref,
-            smooth_out_ref,
-            eff_ref,
-            jar_ref,
-            grad_ref,
-            mgrad_ref,
-            p_ref,
-            imp_ref,
-            sol_ref,
-            l_ref,
-            lt_ref,
-            mdx_ref,
-        ) = refs
-        n = qm_ref.shape[0]
+        qm_ref = take()
+    if jb_dims is not None:
+        fq_ref, sw_ref, dm_ref, lim1h_ref, ll_ref, mu_ref = (
+            take(), take(), take(), take(), take(), take()
+        )
+    else:
+        j_ref = take()
+    aref_ref, d_ref = take(), take()
+    qfrc_smooth_ref, warm_ref, tolscale_ref, hd_ref = (
+        take(), take(), take(), take()
+    )
+    x_ref, force_ref, qfrc_ref, smooth_out_ref, eff_ref = (
+        take(), take(), take(), take(), take()
+    )
+    jar_ref, grad_ref, mgrad_ref, p_ref, imp_ref, sol_ref = (
+        take(), take(), take(), take(), take(), take()
+    )
+    l_ref, lt_ref, mdx_ref = take(), take(), take()
+    if with_qm_build:
+        qm_ref = take()
+    if jb_dims is not None:
+        j_ref = take()
+    assert not refs
+    n = qfrc_smooth_ref.shape[0]
     # factor qM in VMEM (blocked right-looking; upper garbage masked out so
     # the dense matv_m reads below see a clean lower factor), then L^T in a
     # second scratch (ref dynamic slicing needs the row-major form for the
@@ -185,6 +164,37 @@ def _cg_kernel(
             - jnp.where(row_n == col_n, lower, 0.0)
         )
         qm_ref[:] = qm + jnp.where(row_n == col_n, arm_ref[:][:, None, :], 0.0)
+    if jb_dims is not None:
+        # Assemble J in VMEM. Limit rows: static one-hot tables scaled by
+        # the per-env side*active factor. Contact rows: the frame-projected
+        # point jacobian jfr[k] = (sum_j fq[k,:,j] sw[:,j]) * diff_mask is
+        # built per direction k (normal/t1/t2) as 6 broadcast slab products
+        # (the qM-from-CRB pattern), then the four pyramid sections are the
+        # linear combinations jfr0 +/- mu_i jfr_i+1. fq is active-masked on
+        # the host, so inactive contacts produce all-zero rows, matching
+        # the unfused where-select.
+        nl_p, c_p = jb_dims
+        if nl_p:
+            j_ref[:nl_p] = (
+                lim1h_ref[:][:, :, None] * ll_ref[:][:, None, :]
+            )
+        jfr = []
+        for k in range(3):
+            acc = (
+                fq_ref[k * c_p : (k + 1) * c_p, 0, :][:, None, :]
+                * sw_ref[:, 0, :][None, :, :]
+            )
+            for jj in range(1, 6):
+                acc = acc + (
+                    fq_ref[k * c_p : (k + 1) * c_p, jj, :][:, None, :]
+                    * sw_ref[:, jj, :][None, :, :]
+                )
+            jfr.append(acc * dm_ref[:][:, :, None])
+        for i in range(2):
+            mu_i = mu_ref[i * c_p : (i + 1) * c_p][:, None, :]
+            s0 = nl_p + 2 * i * c_p
+            j_ref[s0 : s0 + c_p] = jfr[0] + mu_i * jfr[1 + i]
+            j_ref[s0 + c_p : s0 + 2 * c_p] = jfr[0] - mu_i * jfr[1 + i]
     l_ref[:] = qm_ref[:]
     factor_in_place(l_ref)
     l_ref[:] = jnp.where(row_n >= col_n, l_ref[:], 0.0)
@@ -372,12 +382,41 @@ def _pad_tiles(x, tile):
     return x
 
 
+@functools.lru_cache(maxsize=None)
+def _jb_layout(nl: int, nc: int):
+    """Static row maps for the in-kernel J build (scalar/pyramid models).
+
+    efc order (constraint.py): [limits x nl | contact-major pyramid rows
+    (+t1, -t1, +t2, -t2) x nc]. Kernel order: [limits pad nl_p | +t1 sec
+    c_p | -t1 | +t2 | -t2], every section 8-row aligned. `gather` indexes
+    efc rows per kernel row (padding rows point at 0 and are zeroed by the
+    host mask), `scatter` maps efc rows to kernel slots (force return)."""
+    import numpy as np
+
+    nl_p = _ceil_to(nl, _SUBLANE) if nl else 0
+    c_p = _ceil_to(nc, _SUBLANE)
+    e_p = nl_p + 4 * c_p
+    gather = np.zeros(e_p, dtype=np.int32)
+    pad_mask = np.ones(e_p, dtype=bool)
+    gather[:nl] = np.arange(nl, dtype=np.int32)
+    pad_mask[:nl] = False
+    ci = np.arange(nc, dtype=np.int32)
+    for m in range(4):
+        s = nl_p + m * c_p
+        gather[s : s + nc] = nl + 4 * ci + m
+        pad_mask[s : s + nc] = False
+    scatter = np.zeros(nl + 4 * nc, dtype=np.int32)
+    scatter[gather[~pad_mask]] = np.nonzero(~pad_mask)[0].astype(np.int32)
+    return nl_p, c_p, e_p, gather, pad_mask, scatter
+
+
 @functools.partial(
-    jax.jit, static_argnames=("iterations", "ls_iterations", "interpret")
+    jax.jit,
+    static_argnames=("jb_dims", "iterations", "ls_iterations", "interpret"),
 )
 def _cg_solve_tpu(
-    qm, j, aref, d, qfrc_smooth, warm, tol, hd=None, crb=None, *, iterations,
-    ls_iterations, interpret=False,
+    qm, j, aref, d, qfrc_smooth, warm, tol, hd=None, crb=None, jb=None, *,
+    jb_dims=None, iterations, ls_iterations, interpret=False,
 ):
     """Batch-first [B, ...] inputs -> (qacc_smooth, x, force, qfrc[, qacc_eff]).
 
@@ -390,6 +429,12 @@ def _cg_solve_tpu(
     buf @ cdof^T symmetrized + diag(armature)) and `qm` is ignored — the
     caller's dense assembly dead-codes away on the hot path.
 
+    With `jb` = (fq (B, nc, 3, 6), sw (B, n, 6), ll (B, nl), mu (B, nc, 2),
+    dm (nc, n), lim1h (nl, n)) and static `jb_dims` = (nl, nc), the kernel
+    ASSEMBLES J in VMEM too (limit one-hot rows + condim-3 pyramid rows —
+    see constraint.py EfcData.jb_*) and `j` is ignored; aref/d/force are
+    host-permuted between efc order and the kernel's sectioned row order.
+
     interpret=True runs the kernel through the Pallas interpreter (any
     backend): the CPU test suite uses it to pin kernel numerics against the
     unfused path (tests/test_cg_kernel_parity.py)."""
@@ -397,8 +442,17 @@ def _cg_solve_tpu(
     e = aref.shape[-1]
     dtype = qfrc_smooth.dtype
     with_qm_build = crb is not None
+    with_j_build = jb is not None
+    if with_j_build:
+        nl, nc = jb_dims
+        nl_p, c_p, e_p, gather, pad_mask, scatter = _jb_layout(nl, nc)
+        keep = jnp.asarray(~pad_mask, dtype)
+        aref = aref[:, jnp.asarray(gather)] * keep[None, :]
+        d = d[:, jnp.asarray(gather)] * keep[None, :]
+        j_en = None
+    else:
+        j_en = _pad_tiles(jnp.moveaxis(j, 0, -1), LANE_TILE)
     # lane layout, padded to full tiles
-    j_en = _pad_tiles(jnp.moveaxis(j, 0, -1), LANE_TILE)
     aref_e = _pad_tiles(jnp.moveaxis(aref, 0, -1), LANE_TILE)
     d_e = _pad_tiles(jnp.moveaxis(d, 0, -1), LANE_TILE)
     qfrc_n = _pad_tiles(jnp.moveaxis(qfrc_smooth, 0, -1), LANE_TILE)
