@@ -601,3 +601,102 @@ def test_elliptic_cg_kernel_qm_build_matches_dense(cg_fly):
         b = np.asarray(b, np.float64)
         err = np.abs(a - b).max() / max(1.0, np.abs(b).max())
         assert err < 2e-4, f"{name}: rel err {err:.2e}"
+
+
+def test_cg_kernel_j_build_matches_dense(cg_rodent):
+    """The in-VMEM J assembly from the compact jb operands (round-5 fusion,
+    VERDICT r4 #3) must match the dense-J kernel path at f32-roundoff level
+    on all outputs — incl. the force scatter back to efc row order."""
+    from track_mjx_tpu.physics import forward as fwdj
+
+    m, plan, model = cg_rodent
+    rng = np.random.RandomState(17)
+    n_envs = 4
+    qpos = np.tile(m.qpos0, (n_envs, 1))
+    qpos[:, 2] -= rng.uniform(0.008, 0.016, n_envs)
+    qpos[:, 7:] += rng.uniform(-0.08, 0.08, (n_envs, m.nq - 7))
+    qvel = rng.uniform(-0.5, 0.5, (n_envs, m.nv))
+    ctrl = rng.uniform(-0.5, 0.5, (n_envs, m.nu))
+    warm = jnp.asarray(rng.uniform(-1.0, 1.0, (n_envs, m.nv)), jnp.float32)
+
+    def stages(qpos, qvel, ctrl):
+        data = pm.make_data(plan, model)
+        data = data.replace(qpos=qpos, qvel=qvel, ctrl=ctrl)
+        data, efc = fwdj.fwd_position(plan, model, data)
+        data = fwdj.fwd_velocity(plan, model, data)
+        data = fwdj.fwd_actuation(plan, model, data)
+        data = fwdj.fwd_acceleration(plan, model, data)
+        assert efc.jb_fq is not None, "rodent plan must emit jb operands"
+        return (
+            data.qM, data.crb_buf, data.cdof, efc.J, efc.aref, efc.D,
+            data.qfrc_smooth, efc.jb_fq, efc.jb_sw, efc.jb_ll, efc.jb_mu,
+        )
+
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    qm, buf, cdof, j, aref, d_rows, qfrc, fq, sw, ll, mu = jax.jit(
+        jax.vmap(stages)
+    )(f32(qpos), f32(qvel), f32(ctrl))
+    tol = jnp.asarray(m.opt.tolerance, jnp.float32)
+    hd = jnp.broadcast_to(
+        jnp.asarray(m.opt.timestep * m.dof_damping, jnp.float32),
+        (n_envs, m.nv),
+    )
+    anc = jnp.asarray(plan.ancestry_mask, jnp.float32)
+    arm = jnp.asarray(model.dof_armature, jnp.float32)
+    dm_np, lim1h_np = solver_mod._jb_static(plan)
+    jb = (fq, sw, ll, mu, f32(dm_np), f32(lim1h_np))
+    jb_dims = (int(plan.nlimit), int(plan.ncon))
+
+    # active-contact sanity: the built J must have nonzero pyramid rows
+    assert float(jnp.max(jnp.abs(fq))) > 0
+
+    dense = cg_solver_kernel._cg_solve_tpu(
+        qm, j, aref, d_rows, qfrc, warm, tol, hd=hd,
+        crb=(buf, cdof, anc, arm),
+        iterations=_ITERS, ls_iterations=_LS_ITERS, interpret=True,
+    )
+    built = cg_solver_kernel._cg_solve_tpu(
+        qm, j, aref, d_rows, qfrc, warm, tol, hd=hd,
+        crb=(buf, cdof, anc, arm), jb=jb, jb_dims=jb_dims,
+        iterations=_ITERS, ls_iterations=_LS_ITERS, interpret=True,
+    )
+    names = ("qacc_smooth", "qacc", "efc_force", "qfrc_constraint", "qacc_eff")
+    # the J build reassociates the frame-projection sum (6 slab products vs
+    # two 3-term contractions added) — f32 drift comparable to the qm build
+    for name, a, b in zip(names, built, dense):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        err = np.abs(a - b).max() / max(1.0, np.abs(b).max())
+        assert err < 5e-4, f"{name}: rel err {err:.2e}"
+
+
+def test_jb_operand_gating():
+    """EfcData.jb_* must be None whenever the plan's row structure is not
+    exactly [limits | condim-3 pyramid rows] (ADVICE r4 #3): an equality-
+    constrained model must not emit them."""
+    import mujoco
+
+    from track_mjx_tpu.physics import constraint as con
+
+    xml = """
+    <mujoco>
+      <worldbody>
+        <body name="a"><joint name="j1" type="hinge" range="-1 1" limited="true"/>
+          <geom type="capsule" size="0.05" fromto="0 0 0 0.3 0 0"/>
+          <body name="b" pos="0.3 0 0"><joint name="j2" type="hinge"/>
+            <geom type="capsule" size="0.05" fromto="0 0 0 0.3 0 0"/>
+          </body>
+        </body>
+      </worldbody>
+      <equality><joint joint1="j1" joint2="j2"/></equality>
+    </mujoco>
+    """
+    m = mujoco.MjModel.from_xml_string(xml)
+    m.opt.solver = 1
+    plan, model = pm.put_model(m)
+    assert plan.ne > 0
+    assert not con._jb_supported(plan)
+    data = pm.make_data(plan, model)
+    data, efc = fwd.fwd_position(plan, model, data)
+    assert efc.jb_fq is None and efc.jb_sw is None
+    assert efc.jb_ll is None and efc.jb_mu is None

@@ -43,7 +43,10 @@ One intentional numeric difference on the TPU path: the SCALAR variant's
 iterations advance jar = J x - aref and M (x - smooth) by incremental axpy
 updates (jar += alpha J p, mdx += alpha M p) off the linesearch's own
 products instead of fresh contractions — the same update order MuJoCo's CG
-uses for Jaref/Ma (engine_solver.c, mj_solCG), pinned against the unfused
+uses for Jaref/Ma (upstream MuJoCo 3.3.2 — the version the reference pins
+via mujoco-mjx, track_mjx pyproject.toml — src/engine/engine_solver.c,
+mj_solCG; the vendored reference contains no C sources, so the claim is
+checked against that upstream release), pinned against the unfused
 path at f32-roundoff tolerances by tests/test_cg_kernel_parity.py. The
 ELLIPTIC variant keeps fresh per-iteration contractions: its safeguarded
 linesearch's bracket decisions are discretely sensitive to the drift (a
@@ -85,14 +88,38 @@ def _blocked_chosolve(l_ref, lt_ref, sol_ref, mgrad_ref, b):
     return blocked_substitution(l_ref, lt_ref, sol_ref, mgrad_ref, b)
 
 
-def kernel_available(n: int, nefc: int) -> bool:
+def _scalar_vmem_bytes(n: int, nefc: int, jb_dims=None) -> int:
+    """Estimated per-invocation VMEM footprint of the scalar kernel (used by
+    the dispatch gate; split out so the budget math is unit-testable off-TPU)."""
+    if jb_dims is not None:
+        # in-kernel J build: the dense (nefc, n) J input is replaced by the
+        # compact fq/sw/ll/mu operands, but J itself becomes VMEM scratch at
+        # the padded sectioned row count e_p, which also sizes jar and the
+        # matvec temporaries
+        nl, nc = jb_dims
+        nl_p = _ceil_to(nl, _SUBLANE) if nl else 0
+        e_p = nl_p + 4 * _ceil_to(nc, _SUBLANE)
+        blocks = 2 * ((3 + 1) * _ceil_to(nc, _SUBLANE) * _SUBLANE
+                      + n * _SUBLANE + n * n) * LANE_TILE * 4
+        scratch = (2 * n * n + e_p * n) * LANE_TILE * 4  # L, L^T, built J
+        temps = 2 * e_p * n * LANE_TILE * 4  # 3-D matvec products
+        small = (4 * e_p + 8 * n) * LANE_TILE * 4
+    else:
+        e_p = nefc
+        blocks = 2 * (nefc * n + n * n) * LANE_TILE * 4  # double-buffered
+        scratch = 2 * n * n * LANE_TILE * 4  # in-kernel L and L^T
+        temps = 2 * nefc * n * LANE_TILE * 4  # 3-D matvec products
+        small = (4 * nefc + 8 * n) * LANE_TILE * 4
+    return blocks + scratch + temps + small
+
+
+def kernel_available(n: int, nefc: int, jb_dims=None) -> bool:
     if pltpu is None or jax.default_backend() != "tpu":
         return False
-    blocks = 2 * (nefc * n + n * n) * LANE_TILE * 4  # double-buffered
-    scratch = 2 * n * n * LANE_TILE * 4  # in-kernel L and L^T
-    temps = 2 * nefc * n * LANE_TILE * 4  # 3-D matvec products
-    small = (4 * nefc + 8 * n) * LANE_TILE * 4
-    return nefc > 0 and blocks + scratch + temps + small <= _VMEM_BUDGET_BYTES
+    return (
+        nefc > 0
+        and _scalar_vmem_bytes(n, nefc, jb_dims) <= _VMEM_BUDGET_BYTES
+    )
 
 
 def _cg_kernel(
@@ -121,9 +148,10 @@ def _cg_kernel(
     else:
         qm_ref = take()
     if jb_dims is not None:
-        fq_ref, sw_ref, dm_ref, lim1h_ref, ll_ref, mu_ref = (
-            take(), take(), take(), take(), take(), take()
-        )
+        fq_ref, sw_ref, dm_ref = take(), take(), take()
+        if jb_dims[0]:  # limit rows present
+            lim1h_ref, ll_ref = take(), take()
+        mu_ref = take()
     else:
         j_ref = take()
     aref_ref, d_ref = take(), take()
@@ -447,10 +475,14 @@ def _cg_solve_tpu(
         nl, nc = jb_dims
         nl_p, c_p, e_p, gather, pad_mask, scatter = _jb_layout(nl, nc)
         keep = jnp.asarray(~pad_mask, dtype)
+        # aref/D move from efc row order to the kernel's sectioned order;
+        # padding slots get keep == 0 so their D zeroes force/cost exactly
         aref = aref[:, jnp.asarray(gather)] * keep[None, :]
         d = d[:, jnp.asarray(gather)] * keep[None, :]
+        e_k = e_p  # kernel row count (sectioned + 8-aligned)
         j_en = None
     else:
+        e_k = e
         j_en = _pad_tiles(jnp.moveaxis(j, 0, -1), LANE_TILE)
     # lane layout, padded to full tiles
     aref_e = _pad_tiles(jnp.moveaxis(aref, 0, -1), LANE_TILE)
@@ -482,7 +514,33 @@ def _cg_solve_tpu(
         )
     tolscale = tol.astype(dtype) * scale
     tolscale_1 = _pad_tiles(tolscale[None, :].astype(dtype), LANE_TILE)
-    tiles = j_en.shape[-1] // LANE_TILE
+    tiles = qfrc_n.shape[-1] // LANE_TILE
+
+    if with_j_build:
+        # Marshal the compact J-build operands into kernel layouts:
+        #   fq (B, nc, 3, 6)  -> direction-major (3*c_p, 8, tiles*T)
+        #   sw (B, n, 6)      -> (n, 8, tiles*T)
+        #   ll (B, nl)        -> (nl_p, tiles*T)
+        #   mu (B, nc, 2)     -> direction-major (2*c_p, tiles*T)
+        #   dm (nc, n), lim1h (nl, n) -> static, row-padded
+        fq, sw, ll, mu, dm, lim1h = jb
+        fq_d = jnp.swapaxes(jnp.moveaxis(fq.astype(dtype), 0, -1), 0, 1)
+        fq_d = jnp.pad(fq_d, ((0, 0), (0, c_p - nc), (0, _SUBLANE - 6), (0, 0)))
+        fq_kb = _pad_tiles(fq_d.reshape(3 * c_p, _SUBLANE, bsz), LANE_TILE)
+        sw_d = jnp.pad(sw.astype(dtype), ((0, 0), (0, 0), (0, _SUBLANE - 6)))
+        sw_kb = _pad_tiles(jnp.moveaxis(sw_d, 0, -1), LANE_TILE)
+        mu_d = jnp.swapaxes(jnp.moveaxis(mu.astype(dtype), 0, -1), 0, 1)
+        mu_d = jnp.pad(mu_d, ((0, 0), (0, c_p - nc), (0, 0)))
+        mu_kb = _pad_tiles(mu_d.reshape(2 * c_p, bsz), LANE_TILE)
+        dm_cn = jnp.pad(jnp.asarray(dm, dtype), ((0, c_p - nc), (0, 0)))
+        if nl_p:
+            ll_kb = _pad_tiles(
+                jnp.moveaxis(
+                    jnp.pad(ll.astype(dtype), ((0, 0), (0, nl_p - nl))), 0, -1
+                ),
+                LANE_TILE,
+            )
+            lim1h_nn = jnp.pad(jnp.asarray(lim1h, dtype), ((0, nl_p - nl), (0, 0)))
 
     with_euler = hd is not None
     hd_n = _pad_tiles(
@@ -493,7 +551,12 @@ def _cg_solve_tpu(
     )
 
     kernel = functools.partial(
-        _cg_kernel, iterations, ls_iterations, with_euler, with_qm_build
+        _cg_kernel,
+        iterations,
+        ls_iterations,
+        with_euler,
+        with_qm_build,
+        (nl_p, c_p) if with_j_build else None,
     )
 
     def lanes(rows):  # per-tile lane block of a (rows, B) operand
@@ -506,45 +569,63 @@ def _cg_solve_tpu(
             (a, b, LANE_TILE), lambda i: (0, 0, i), memory_space=pltpu.VMEM
         )
 
-    common_in_specs = [
-        lanes3(e, n),  # J
-        lanes(e),  # aref
-        lanes(e),  # D
-        lanes(n),  # qfrc_smooth
-        lanes(n),  # warmstart
-        lanes(1),  # tol * scale
-        lanes(n),  # h * dof_damping (euler shift)
-    ]
-    common_inputs = (j_en, aref_e, d_e, qfrc_n, warm_n, tolscale_1, hd_n)
+    def whole(a, b):  # grid-invariant static table
+        return pl.BlockSpec((a, b), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
     if with_qm_build:
         kk = buf_nk.shape[1]
         in_specs = [
             lanes3(n, kk),  # crb buf
             lanes3(n, kk),  # cdof
-            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            whole(n, n),  # ancestry mask
             lanes(n),  # armature
-        ] + common_in_specs
-        inputs = (buf_nk, cdof_nk, anc_nn, arm_n) + common_inputs
+        ]
+        inputs = (buf_nk, cdof_nk, anc_nn, arm_n)
         extra_scratch = [pltpu.VMEM((n, n, LANE_TILE), dtype)]  # built qM
     else:
-        in_specs = [lanes3(n, n)] + common_in_specs  # dense qM
-        inputs = (qm_nn,) + common_inputs
+        in_specs = [lanes3(n, n)]  # dense qM
+        inputs = (qm_nn,)
         extra_scratch = []
+    if with_j_build:
+        in_specs += [
+            lanes3(3 * c_p, _SUBLANE),  # fq (frame | pos x frame)
+            lanes3(n, _SUBLANE),  # sw (s | w)
+            whole(c_p, n),  # diff mask
+        ]
+        inputs += (fq_kb, sw_kb, dm_cn)
+        if nl_p:
+            in_specs += [whole(nl_p, n), lanes(nl_p)]  # limit one-hots, side
+            inputs += (lim1h_nn, ll_kb)
+        in_specs += [lanes(2 * c_p)]  # mu
+        inputs += (mu_kb,)
+        extra_scratch.append(pltpu.VMEM((e_k, n, LANE_TILE), dtype))  # built J
+    else:
+        in_specs += [lanes3(e_k, n)]  # dense J
+        inputs += (j_en,)
+    in_specs += [
+        lanes(e_k),  # aref
+        lanes(e_k),  # D
+        lanes(n),  # qfrc_smooth
+        lanes(n),  # warmstart
+        lanes(1),  # tol * scale
+        lanes(n),  # h * dof_damping (euler shift)
+    ]
+    inputs += (aref_e, d_e, qfrc_n, warm_n, tolscale_1, hd_n)
 
     xs, fs, qs, sm, eff = pl.pallas_call(
         kernel,
         grid=(tiles,),
         out_shape=(
             jax.ShapeDtypeStruct((n, tiles * LANE_TILE), dtype),
-            jax.ShapeDtypeStruct((e, tiles * LANE_TILE), dtype),
+            jax.ShapeDtypeStruct((e_k, tiles * LANE_TILE), dtype),
             jax.ShapeDtypeStruct((n, tiles * LANE_TILE), dtype),
             jax.ShapeDtypeStruct((n, tiles * LANE_TILE), dtype),
             jax.ShapeDtypeStruct((n, tiles * LANE_TILE), dtype),
         ),
         in_specs=in_specs,
-        out_specs=(lanes(n), lanes(e), lanes(n), lanes(n), lanes(n)),
+        out_specs=(lanes(n), lanes(e_k), lanes(n), lanes(n), lanes(n)),
         scratch_shapes=[
-            pltpu.VMEM((e, LANE_TILE), dtype),  # jar
+            pltpu.VMEM((e_k, LANE_TILE), dtype),  # jar
             pltpu.VMEM((n, LANE_TILE), dtype),  # grad
             pltpu.VMEM((n, LANE_TILE), dtype),  # mgrad
             pltpu.VMEM((n, LANE_TILE), dtype),  # p
@@ -564,9 +645,12 @@ def _cg_solve_tpu(
     def unlane(t):  # (rows, tiles*T) -> (B, rows)
         return jnp.moveaxis(t, 0, -1)[:bsz]
 
+    force = unlane(fs)
+    if with_j_build:
+        force = force[:, jnp.asarray(scatter)]  # back to efc row order
     if with_euler:
-        return unlane(sm), unlane(xs), unlane(fs), unlane(qs), unlane(eff)
-    return unlane(sm), unlane(xs), unlane(fs), unlane(qs)
+        return unlane(sm), unlane(xs), force, unlane(qs), unlane(eff)
+    return unlane(sm), unlane(xs), force, unlane(qs)
 
 
 # ---------------------------------------------------------------------------

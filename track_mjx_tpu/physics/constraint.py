@@ -78,17 +78,35 @@ class EfcData:
     fmin: jax.Array  # (nefc,)
     fmax: jax.Array  # (nefc,)
     # Compact J-row operands for the fused TPU solve's in-VMEM J build
-    # (round 4): J[limit l] = side_l * onehot(dofadr_l); J[contact c, dir k]
+    # (round 4/5): J[limit l] = side_l * onehot(dofadr_l); J[contact c, dir k]
     # = (frame[c,k] . s[d] + (pos x frame)[c,k] . w[d]) * diff_mask[c,d]
-    # with s = cdof_lin - cross(cdof_ang, root com), w = cdof_ang. The
-    # kernel rebuilds rows from these (plus the STATIC diff_mask / limit
-    # one-hot tables derived from the plan), so the dense J above — whose
-    # only other consumer, jv for aref, reads these operands too — is
-    # dead-code-eliminated by XLA on the fused TPU path. None when the
-    # plan's row structure doesn't support the in-kernel build.
+    # with s = cdof_lin - cross(cdof_ang, root com), w = cdof_ang; pyramid
+    # rows are jfr0 +/- mu_i jfr_{1+i}. The kernel rebuilds rows from these
+    # (plus the STATIC diff_mask / limit one-hot tables derived from the
+    # plan, solver._jb_static), so the dense J above — whose only other
+    # consumer, jv for aref, reads these operands too — is dead-code-
+    # eliminated by XLA on the fused TPU path. All None unless _jb_supported:
+    # the layout represents exactly [limits | condim-3 pyramid rows], so
+    # models with equality/frictionloss/condim-1/condim>3/elliptic rows must
+    # not emit them (ADVICE r4 #3 — the gate enforces this contract).
     jb_sw: jax.Array | None = None  # (nv, 6) [s | w]
     jb_fq: jax.Array | None = None  # (ncon, 3, 6) [frame | pos x frame], active-masked
     jb_ll: jax.Array | None = None  # (nlimit,) side * active
+    jb_mu: jax.Array | None = None  # (ncon, 2) tangential friction
+
+
+def _jb_supported(plan: PhysicsPlan) -> bool:
+    """True when the plan's efc row structure is exactly what the scalar
+    kernel's in-VMEM J build represents: [joint-limit rows | contact-major
+    condim-3 pyramid rows (+t1, -t1, +t2, -t2)]. Equality / frictionloss /
+    condim-1 / condim>3 / elliptic rows have no slot in that layout."""
+    return bool(
+        plan.ncon > 0
+        and plan.ne == 0
+        and plan.nf == 0
+        and plan.ncon_ell == 0
+        and np.all(plan.contact_condim == 3)
+    )
 
 
 def _kbi(
@@ -407,7 +425,8 @@ def make_constraint(
     rows_J, rows_aref, rows_D, rows_pos, rows_act = [], [], [], [], []
     rows_fmin, rows_fmax = [], []
     ell_mu = jnp.zeros(0, dtype)
-    jb_sw = jb_fq = jb_ll = None
+    jb_sw = jb_fq = jb_ll = jb_mu = None
+    jb_ok = _jb_supported(plan)
 
     def push(J, aref, D, pos, act, fmin, fmax):
         rows_J.append(J)
@@ -462,7 +481,8 @@ def make_constraint(
         # the fused solve assembles J in VMEM (jb_* operands below).
         jv = side * data.qvel[dadr]
         aref = -b * jv - k * imp * pos
-        jb_ll = jnp.where(active, side, 0.0)
+        if jb_ok:
+            jb_ll = jnp.where(active, side, 0.0)
         invweight = model.dof_invweight0[dadr]
         D = imp / jnp.maximum((1.0 - imp) * invweight, 1e-12)
 
@@ -521,11 +541,14 @@ def make_constraint(
 
         pos = contact.dist - contact.includemargin
         active = contact.dist < contact.includemargin
-        # compact J-build operands for the fused TPU solve (see EfcData)
-        jb_sw = jnp.concatenate([s, w], axis=1)  # (nv, 6)
-        jb_fq = jnp.concatenate([contact.frame, q], axis=-1) * active[
-            :, None, None
-        ].astype(dtype)
+        if jb_ok:
+            # compact J-build operands for the fused TPU solve (see EfcData;
+            # emission is gated on _jb_supported so the None contract holds)
+            jb_sw = jnp.concatenate([s, w], axis=1)  # (nv, 6)
+            jb_fq = jnp.concatenate([contact.frame, q], axis=-1) * active[
+                :, None, None
+            ].astype(dtype)
+            jb_mu = contact.friction[:, :2].astype(dtype)
         # rotational rows (torsional/rolling friction, condim 4/6): the
         # angular jacobian difference projected on the contact frame
         if plan.condim > 3:
@@ -670,4 +693,5 @@ def make_constraint(
         jb_sw=jb_sw,
         jb_fq=jb_fq,
         jb_ll=jb_ll,
+        jb_mu=jb_mu,
     )

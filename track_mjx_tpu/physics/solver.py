@@ -49,6 +49,10 @@ from track_mjx_tpu.physics.model import Data, Model, PhysicsPlan
 
 _EPS = 1e-12
 
+# Kill-switch for the in-kernel J build (A/B benching; the dispatch also
+# gates on EfcData.jb_* presence and the kernel's VMEM budget).
+J_BUILD = True
+
 
 def _scalar_zone(jar, d, fmin, fmax):
     """Box-clamped scalar-row force and quadratic-zone mask.
@@ -247,28 +251,109 @@ def _smooth_scalar_cg_single(
 
 
 @functools.lru_cache(maxsize=None)
-def _make_scalar_cg_op(iterations: int, ls_iterations: int, with_euler: bool):
+def _jb_static(plan: PhysicsPlan):
+    """Trace-time constant tables for the in-kernel J build (numpy):
+    dm (ncon, nv) — per-contact dof difference mask body2 − body1 (the same
+    diff_mask constraint.py folds into its dense rows); lim1h (nlimit, nv) —
+    one-hot limit rows at each limited joint's dof (the per-env side·active
+    factor rides in efc.jb_ll)."""
+    import numpy as np
+
+    from track_mjx_tpu.physics.collision import contact_bodies
+    from track_mjx_tpu.physics.constraint import _dof_body_mask
+
+    _, _, body1, body2 = contact_bodies(plan)
+    bm = _dof_body_mask(plan)
+    dm = bm[body2] - bm[body1]
+    jids = plan.limited_jnt_ids
+    lim1h = np.zeros((plan.nlimit, plan.nv))
+    if len(jids):
+        lim1h[np.arange(len(jids)), plan.jnt_dofadr[jids]] = 1.0
+    return dm, lim1h
+
+
+@functools.lru_cache(maxsize=None)
+def _make_scalar_cg_op(
+    iterations: int, ls_iterations: int, with_euler: bool, jb_dims=None
+):
     plain_ = functools.partial(
         _smooth_scalar_cg_single, iterations, ls_iterations, with_euler
     )
-
-    def plain(qm, j, aref, d, qfrc_smooth, warm, tol, hd, buf, cdof, anc, arm):
-        # the dense path consumes qM directly; the CRB factors feed only the
-        # TPU kernel's in-VMEM assembly (unused args DCE away)
-        return plain_(qm, j, aref, d, qfrc_smooth, warm, tol, hd)
-
     n_out = 5 if with_euler else 4
 
+    if jb_dims is None:
+
+        def plain(qm, j, aref, d, qfrc_smooth, warm, tol, hd, buf, cdof, anc, arm):
+            # the dense path consumes qM directly; the CRB factors feed only
+            # the TPU kernel's in-VMEM assembly (unused args DCE away)
+            return plain_(qm, j, aref, d, qfrc_smooth, warm, tol, hd)
+
+        @jax.custom_batching.custom_vmap
+        def op(qm, j, aref, d, qfrc_smooth, warm, tol, hd, buf, cdof, anc, arm):
+            return plain(qm, j, aref, d, qfrc_smooth, warm, tol, hd, buf, cdof, anc, arm)
+
+        @op.def_vmap
+        def _vmap(
+            axis_size, in_batched, qm, j, aref, d, qfrc_smooth, warm, tol, hd,
+            buf, cdof, anc, arm,
+        ):
+            args = [qm, j, aref, d, qfrc_smooth, warm, tol, hd, buf, cdof, anc, arm]
+            per_env = in_batched[:6]
+            n = qfrc_smooth.shape[-1]
+            e = aref.shape[-1]
+            tol_scalar = tol[0] if in_batched[6] else tol
+            if (
+                all(per_env)
+                and in_batched[8]
+                and in_batched[9]
+                and cg_solver_kernel.kernel_available(n, e)
+            ):
+                hd_b = (
+                    hd
+                    if in_batched[7]
+                    else jnp.broadcast_to(hd, (axis_size,) + jnp.shape(hd))
+                )
+                anc_u = anc[0] if in_batched[10] else anc
+                arm_u = arm[0] if in_batched[11] else arm
+                out = cg_solver_kernel._cg_solve_tpu(
+                    qm, j, aref, d, qfrc_smooth, warm, tol_scalar,
+                    hd=hd_b if with_euler else None,
+                    crb=(buf, cdof, anc_u, arm_u),
+                    iterations=iterations, ls_iterations=ls_iterations,
+                )
+                return out, (True,) * n_out
+            args = [
+                a if b else jnp.broadcast_to(a, (axis_size,) + jnp.shape(a))
+                for a, b in zip(args, in_batched)
+            ]
+            return jax.vmap(plain)(*args), (True,) * n_out
+
+        return op
+
+    # jb variant (round 5): six extra operands feed the kernel's in-VMEM J
+    # build — fq/sw/ll/mu per env, dm/lim1h trace-time constants. The dense
+    # J stays in the op signature so the non-kernel fallback is unchanged;
+    # on the kernel path it is an ignored input and its XLA-side assembly
+    # dead-codes away (the same contract as qm under the CRB build).
+    nl, _ = jb_dims
+
+    def plain(qm, j, aref, d, qfrc_smooth, warm, tol, hd, buf, cdof, anc,
+              arm, fq, sw, ll, mu, dm, lim1h):
+        return plain_(qm, j, aref, d, qfrc_smooth, warm, tol, hd)
+
     @jax.custom_batching.custom_vmap
-    def op(qm, j, aref, d, qfrc_smooth, warm, tol, hd, buf, cdof, anc, arm):
-        return plain(qm, j, aref, d, qfrc_smooth, warm, tol, hd, buf, cdof, anc, arm)
+    def op(qm, j, aref, d, qfrc_smooth, warm, tol, hd, buf, cdof, anc, arm,
+           fq, sw, ll, mu, dm, lim1h):
+        return plain(qm, j, aref, d, qfrc_smooth, warm, tol, hd, buf, cdof,
+                     anc, arm, fq, sw, ll, mu, dm, lim1h)
 
     @op.def_vmap
     def _vmap(
         axis_size, in_batched, qm, j, aref, d, qfrc_smooth, warm, tol, hd,
-        buf, cdof, anc, arm,
+        buf, cdof, anc, arm, fq, sw, ll, mu, dm, lim1h,
     ):
-        args = [qm, j, aref, d, qfrc_smooth, warm, tol, hd, buf, cdof, anc, arm]
+        args = [qm, j, aref, d, qfrc_smooth, warm, tol, hd, buf, cdof, anc,
+                arm, fq, sw, ll, mu, dm, lim1h]
         per_env = in_batched[:6]
         n = qfrc_smooth.shape[-1]
         e = aref.shape[-1]
@@ -277,7 +362,11 @@ def _make_scalar_cg_op(iterations: int, ls_iterations: int, with_euler: bool):
             all(per_env)
             and in_batched[8]
             and in_batched[9]
-            and cg_solver_kernel.kernel_available(n, e)
+            and in_batched[12]  # fq
+            and in_batched[13]  # sw
+            and (nl == 0 or in_batched[14])  # ll
+            and in_batched[15]  # mu
+            and cg_solver_kernel.kernel_available(n, e, jb_dims)
         ):
             hd_b = (
                 hd
@@ -286,10 +375,14 @@ def _make_scalar_cg_op(iterations: int, ls_iterations: int, with_euler: bool):
             )
             anc_u = anc[0] if in_batched[10] else anc
             arm_u = arm[0] if in_batched[11] else arm
+            dm_u = dm[0] if in_batched[16] else dm
+            lim1h_u = lim1h[0] if in_batched[17] else lim1h
             out = cg_solver_kernel._cg_solve_tpu(
                 qm, j, aref, d, qfrc_smooth, warm, tol_scalar,
                 hd=hd_b if with_euler else None,
                 crb=(buf, cdof, anc_u, arm_u),
+                jb=(fq, sw, ll, mu, dm_u, lim1h_u),
+                jb_dims=jb_dims,
                 iterations=iterations, ls_iterations=ls_iterations,
             )
             return out, (True,) * n_out
@@ -822,8 +915,29 @@ def solve(
         # whole chain is one Pallas kernel per batch tile. Euler plans fold
         # the integrator's (M + h diag(damping)) solve in too (fused_euler).
         with_euler = fused_euler(plan)
+        jb_dims = None
+        jb_args = ()
+        if J_BUILD and efc.jb_fq is not None:
+            # in-kernel J build (round 5): ship the compact fq/sw/ll/mu
+            # operands + static dm/lim1h tables; the dense efc.J argument is
+            # ignored by the kernel and its assembly DCEs away on TPU
+            jb_dims = (int(plan.nlimit), int(plan.ncon))
+            dm_np, lim1h_np = _jb_static(plan)
+            ll = (
+                efc.jb_ll
+                if plan.nlimit
+                else jnp.zeros((0,), dtype)
+            )
+            jb_args = (
+                efc.jb_fq,
+                efc.jb_sw,
+                ll,
+                efc.jb_mu,
+                jnp.asarray(dm_np, dtype),
+                jnp.asarray(lim1h_np, dtype),
+            )
         op = _make_scalar_cg_op(
-            plan.iterations, plan.ls_iterations, with_euler
+            plan.iterations, plan.ls_iterations, with_euler, jb_dims
         )
         hd = (model.opt_timestep * model.dof_damping).astype(dtype)
         out = op(
@@ -839,6 +953,7 @@ def solve(
             data.cdof,
             jnp.asarray(plan.ancestry_mask, dtype),
             model.dof_armature.astype(dtype),
+            *jb_args,
         )
         smooth, x, force, qfrc = out[:4]
         data = data.replace(
