@@ -16,6 +16,32 @@ from track_mjx_tpu.agent import types
 from track_mjx_tpu.envs.base import Env, State, Wrapper
 
 
+def _record(
+    env_state: State,
+    nstate: State,
+    actions: jax.Array,
+    policy_extras: dict,
+    extra_fields: Sequence[str],
+    carry_extras: dict | None = None,
+) -> types.Transition:
+    """Builds the Transition for one step (shared by the feedforward and
+    recurrent actors)."""
+    extras = {
+        "policy_extras": policy_extras,
+        "state_extras": {x: nstate.info[x] for x in extra_fields},
+    }
+    if carry_extras:
+        extras.update(carry_extras)
+    return types.Transition(
+        observation=env_state.obs,
+        action=actions,
+        reward=nstate.reward,
+        discount=1 - nstate.done,
+        next_observation=nstate.obs,
+        extras=extras,
+    )
+
+
 def actor_step(
     env: Env,
     env_state: State,
@@ -26,15 +52,45 @@ def actor_step(
     """One policy+env step, emitting a Transition."""
     actions, policy_extras = policy(env_state.obs, key)
     nstate = env.step(env_state, actions)
-    state_extras = {x: nstate.info[x] for x in extra_fields}
-    return nstate, types.Transition(
-        observation=env_state.obs,
-        action=actions,
-        reward=nstate.reward,
-        discount=1 - nstate.done,
-        next_observation=nstate.obs,
-        extras={"policy_extras": policy_extras, "state_extras": state_extras},
+    return nstate, _record(env_state, nstate, actions, policy_extras, extra_fields)
+
+
+def recurrent_actor_step(
+    env: Env,
+    env_state: State,
+    policy,
+    key: types.PRNGKey,
+    carry,
+    extra_fields: Sequence[str] = (),
+):
+    """One step of a recurrent policy: policy(obs, key, carry) ->
+    (action, extras, carry').
+
+    Carry semantics (reference parity, track_mjx/agent/lstm_ppo/acting.py:
+    36-78): the transition records the PRE-step carry — the loss's BPTT
+    re-unroll starts each stored sequence from the hidden that actually
+    produced its first action. Wherever this step ended an episode, the
+    outgoing carry is re-seeded from the wrapper's per-env initial hidden
+    (info["hidden_state"], LSTMAutoResetWrapperTracking), and the whole
+    carry is detached: gradients flow only through the loss's own re-unroll,
+    never across rollout steps."""
+    actions, policy_extras, carry_out = policy(env_state.obs, key, carry)
+    reseed_carry = env_state.info["hidden_state"]
+    nstate = env.step(env_state, actions)
+    transition = _record(
+        env_state,
+        nstate,
+        actions,
+        policy_extras,
+        extra_fields,
+        {"hidden_state": carry[0], "cell_state": carry[1]},
     )
+
+    def pick(init, live):
+        done = nstate.done.reshape(nstate.done.shape + (1,) * (live.ndim - 1))
+        return jax.lax.stop_gradient(jp.where(done, init, live))
+
+    return nstate, transition, jax.tree.map(pick, reseed_carry, carry_out)
 
 
 def generate_unroll(
@@ -59,6 +115,33 @@ def generate_unroll(
         f, (env_state, key), (), length=unroll_length
     )
     return final_state, data
+
+
+def recurrent_generate_unroll(
+    env: Env,
+    env_state: State,
+    policy,
+    key: types.PRNGKey,
+    carry,
+    unroll_length: int,
+    extra_fields: Sequence[str] = (),
+):
+    """generate_unroll for a recurrent policy; also returns the post-unroll
+    carry (the trainer threads it into the next rollout)."""
+
+    def f(scan_carry, unused_t):
+        state, current_key, policy_carry = scan_carry
+        current_key, next_key = jax.random.split(current_key)
+        nstate, transition, next_carry = recurrent_actor_step(
+            env, state, policy, current_key, policy_carry,
+            extra_fields=extra_fields,
+        )
+        return (nstate, next_key, next_carry), transition
+
+    (final_state, _, final_carry), data = jax.lax.scan(
+        f, (env_state, key, carry), (), length=unroll_length
+    )
+    return final_state, data, final_carry
 
 
 @struct.dataclass
@@ -120,7 +203,12 @@ class EvalWrapper(Wrapper):
 
 
 class Evaluator:
-    """Deterministic-policy evaluator with data-split metric prefixes."""
+    """Deterministic-policy evaluator with data-split metric prefixes.
+
+    With recurrent=True the policy signature is (obs, key, carry) ->
+    (action, extras, carry') and each eval unroll threads the wrapper's
+    initial hidden (replaces the reference's separate LSTM Evaluator fork,
+    track_mjx/agent/lstm_ppo/acting.py:113-197)."""
 
     def __init__(
         self,
@@ -130,6 +218,7 @@ class Evaluator:
         episode_length: int,
         action_repeat: int,
         key: types.PRNGKey,
+        recurrent: bool = False,
     ):
         self._key = key
         self._eval_walltime = 0.0
@@ -141,12 +230,23 @@ class Evaluator:
         ) -> State:
             reset_keys = jax.random.split(key, num_eval_envs)
             eval_first_state = eval_env.reset(reset_keys)
+            policy = eval_policy_fn(policy_params)
+            length = episode_length // action_repeat
+            if recurrent:
+                return recurrent_generate_unroll(
+                    eval_env,
+                    eval_first_state,
+                    policy,
+                    key,
+                    eval_first_state.info["hidden_state"],
+                    unroll_length=length,
+                )[0]
             return generate_unroll(
                 eval_env,
                 eval_first_state,
-                eval_policy_fn(policy_params),
+                policy,
                 key,
-                unroll_length=episode_length // action_repeat,
+                unroll_length=length,
             )[0]
 
         self._generate_eval_unroll = jax.jit(generate_eval_unroll)
