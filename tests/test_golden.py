@@ -51,13 +51,14 @@ def test_golden_rollout():
     golden = json.loads(GOLDEN_PATH.read_text())
     assert sig["start_frame"] == golden["start_frame"]
     assert sig["clip_idx"] == golden["clip_idx"]
-    np.testing.assert_allclose(
-        np.array(sig["rewards"]), np.array(golden["rewards"]), rtol=1e-5
+    # EXACT equality (VERDICT r4 weak #6): fixed seed on the CPU path is
+    # deterministic, and the goldens round-trip through full-precision float
+    # repr — any drift is a real numerics change and must be declared via
+    # REGEN_GOLDEN, not absorbed by a tolerance.
+    np.testing.assert_array_equal(
+        np.array(sig["rewards"]), np.array(golden["rewards"])
     )
-    np.testing.assert_allclose(
-        np.array(sig["qpos_root"]), np.array(golden["qpos_root"]), rtol=1e-4,
-        atol=1e-6,
+    np.testing.assert_array_equal(
+        np.array(sig["qpos_root"]), np.array(golden["qpos_root"])
     )
-    assert sig["final_obs_sum"] == pytest.approx(
-        golden["final_obs_sum"], rel=1e-4
-    )
+    assert sig["final_obs_sum"] == golden["final_obs_sum"]
