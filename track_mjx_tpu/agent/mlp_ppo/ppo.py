@@ -176,7 +176,15 @@ def train(
             randomization_fn, rng=randomization_rng
         )
 
-    env = wrappers.wrap(
+    # foreign (non-tracking) envs go through the adapter stack — the
+    # reference's mujoco_playground fallback (mlp_ppo/ppo.py:462-466),
+    # rebuilt dependency-free as wrappers.wrap_external
+    wrap_for_training = (
+        wrappers.wrap
+        if isinstance(environment, Env)
+        else wrappers.wrap_external
+    )
+    env = wrap_for_training(
         environment,
         episode_length=episode_length,
         action_repeat=action_repeat,
@@ -189,7 +197,15 @@ def train(
     key_envs = mesh_lib.shard_batch(key_envs, mesh)
     env_state = reset_fn(key_envs)
 
-    reference_obs_size = int(np.asarray(env_state.info["reference_obs_size"])[0])
+    if "reference_obs_size" in env_state.info:
+        reference_obs_size = int(
+            np.asarray(env_state.info["reference_obs_size"])[0]
+        )
+    else:
+        # foreign envs publish no encoder/decoder obs split: the whole
+        # observation feeds the encoder (the reference crashes here instead;
+        # graceful degradation is this framework's documented difference)
+        reference_obs_size = int(np.asarray(env_state.obs).shape[-1])
     if "proprioceptive_obs_size" not in env_state.info:
         proprioceptive_obs_size = 0
     else:
@@ -522,7 +538,9 @@ def train(
         v_randomization_fn = functools.partial(
             randomization_fn, rng=jax.random.split(eval_key, num_eval_envs)
         )
-    eval_env = wrappers.wrap(
+    eval_env = (
+        wrappers.wrap if isinstance(eval_env, Env) else wrappers.wrap_external
+    )(
         eval_env,
         episode_length=episode_length,
         action_repeat=action_repeat,

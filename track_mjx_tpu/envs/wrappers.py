@@ -191,6 +191,114 @@ class AutoResetWrapperTracking(Wrapper):
         return state.replace(pipeline_state=pipeline_state, obs=obs)
 
 
+class AutoResetWrapper(Wrapper):
+    """Generic state-swap auto-reset for NON-tracking envs: caches the first
+    pipeline_state/obs at reset and swaps them back per env on done. The
+    tracking variant additionally restores prev_ctrl; foreign envs have no
+    such contract, so this is the whole behavior (brax AutoResetWrapper
+    semantics)."""
+
+    def reset(self, rng: jax.Array) -> State:
+        state = self.env.reset(rng)
+        state.info["first_pipeline_state"] = state.pipeline_state
+        state.info["first_obs"] = state.obs
+        return state
+
+    def step(self, state: State, action: jax.Array) -> State:
+        if "steps" in state.info:
+            steps = state.info["steps"]
+            steps = jp.where(state.done, jp.zeros_like(steps), steps)
+            state.info.update(steps=steps)
+        state = state.replace(done=jp.zeros_like(state.done))
+        state = self.env.step(state, action)
+        done = state.done
+        pipeline_state = jax.tree.map(
+            lambda x, y: _where_done(done, x, y),
+            state.info["first_pipeline_state"],
+            state.pipeline_state,
+        )
+        obs = _where_done(done, state.info["first_obs"], state.obs)
+        return state.replace(pipeline_state=pipeline_state, obs=obs)
+
+
+class ExternalEnvAdapter(Env):
+    """Duck-typing adapter for foreign envs (brax- / mujoco_playground-style:
+    ``reset(rng) -> state`` with obs/reward/done/metrics[/info] fields and
+    ``step(state, action)``), mapping their states onto this framework's
+    ``State`` so the standard wrapper stack and trainers apply unchanged.
+
+    Replaces the reference's mujoco_playground fallback
+    (track_mjx/agent/mlp_ppo/ppo.py:462-466: non-brax envs are wrapped with
+    ``mp_wrapper.wrap_for_brax_training``) without the dependency: any env
+    exposing that surface trains through ``wrap_external``."""
+
+    def __init__(self, env):
+        self._env = env
+
+    @property
+    def action_size(self) -> int:
+        return int(self._env.action_size)
+
+    @property
+    def unwrapped(self):
+        return self._env
+
+    def _to_state(self, s) -> State:
+        if hasattr(s, "pipeline_state"):
+            ps = s.pipeline_state
+        else:  # mujoco_playground States carry `data`
+            ps = getattr(s, "data", None)
+        return State(
+            pipeline_state=ps,
+            obs=s.obs,
+            reward=s.reward,
+            done=s.done,
+            metrics=dict(getattr(s, "metrics", {}) or {}),
+            info=dict(getattr(s, "info", {}) or {}),
+        )
+
+    def reset(self, rng: jax.Array) -> State:
+        foreign = self._env.reset(rng)
+        state = self._to_state(foreign)
+        state.info["_foreign_state"] = foreign
+        return state
+
+    def step(self, state: State, action: jax.Array) -> State:
+        foreign = state.info["_foreign_state"]
+        # write back the fields wrappers may have edited (done zeroing,
+        # swapped pipeline state) before stepping the foreign env
+        foreign = foreign.replace(done=state.done)
+        if hasattr(foreign, "pipeline_state"):
+            foreign = foreign.replace(pipeline_state=state.pipeline_state)
+        elif hasattr(foreign, "data"):
+            foreign = foreign.replace(data=state.pipeline_state)
+        nforeign = self._env.step(foreign, action)
+        nstate = self._to_state(nforeign)
+        nstate.info.update(
+            {k: v for k, v in state.info.items() if k not in nstate.info}
+        )
+        nstate.info["_foreign_state"] = nforeign
+        return nstate
+
+
+def wrap_external(
+    env,
+    episode_length: int = 1000,
+    action_repeat: int = 1,
+    randomization_fn: Optional[Callable] = None,
+    **_unused,
+) -> Wrapper:
+    """wrap() for foreign (non-tracking) envs: Episode -> Vmap -> generic
+    AutoReset over the ExternalEnvAdapter (reference fallback parity)."""
+    env = ExternalEnvAdapter(env)
+    env = EpisodeWrapper(env, episode_length, action_repeat)
+    if randomization_fn is None:
+        env = VmapWrapper(env)
+    else:
+        env = DomainRandomizationVmapWrapper(env, randomization_fn)
+    return AutoResetWrapper(env)
+
+
 def initialize_lstm_hidden(
     rng: jax.Array, num_envs: int, lstm_features: int, hidden_layer_num: int
 ) -> tuple[jp.ndarray, jp.ndarray]:
