@@ -132,3 +132,17 @@ def test_tracking_env_newton_elliptic_raises():
     plan, model = pm.put_model(m)
     with pytest.raises(NotImplementedError, match="elliptic"):
         fwd.forward(plan, model, pm.make_data(plan, model))
+
+
+def test_multirun_expansion():
+    """Hydra-multirun-style sweep parsing (train.expand_multirun): comma
+    values sweep, bracketed YAML lists don't, product order is Hydra's."""
+    from track_mjx_tpu.train import expand_multirun
+
+    jobs = expand_multirun(["a.b=1,2", "c=x", "d=[1,2]"])
+    assert jobs == [
+        ["a.b=1", "c=x", "d=[1,2]"],
+        ["a.b=2", "c=x", "d=[1,2]"],
+    ]
+    assert expand_multirun(["a=5"]) == [["a=5"]]
+    assert len(expand_multirun(["a=1,2", "b=3,4,5"])) == 6

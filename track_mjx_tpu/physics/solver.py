@@ -49,9 +49,12 @@ from track_mjx_tpu.physics.model import Data, Model, PhysicsPlan
 
 _EPS = 1e-12
 
-# Kill-switch for the in-kernel J build (A/B benching; the dispatch also
-# gates on EfcData.jb_* presence and the kernel's VMEM budget).
-J_BUILD = True
+# Kill-switch for the in-kernel J build (A/B benching via
+# TRACK_MJX_J_BUILD=0; the dispatch also gates on EfcData.jb_* presence and
+# the kernel's VMEM budget).
+import os as _os
+
+J_BUILD = _os.environ.get("TRACK_MJX_J_BUILD", "1") != "0"
 
 
 def _scalar_zone(jar, d, fmin, fmax):

@@ -330,11 +330,39 @@ def main(cfg: ConfigDict):
     return make_inference_fn, params
 
 
+def expand_multirun(overrides):
+    """Hydra-multirun-style sweep expansion: comma-separated override values
+    (``a.b=1,2 c=x,y``) expand to the cartesian product of single-value
+    override sets, in Hydra's job order (the reference launches sweeps via
+    ``python -m track_mjx.train -m``; track_mjx/train.py:56). Values whose
+    YAML parse is already a list (``a=[1,2]``) are NOT sweep syntax."""
+    import itertools
+
+    import yaml
+
+    axes = []
+    for ov in overrides:
+        key, _, raw = ov.partition("=")
+        parts = raw.split(",") if raw else [raw]
+        if len(parts) > 1:
+            try:
+                # bracketed lists parse as one YAML value -> not a sweep
+                if isinstance(yaml.safe_load(raw), list):
+                    parts = [raw]
+            except Exception:
+                pass
+        axes.append([f"{key}={p}" for p in parts])
+    return [list(combo) for combo in itertools.product(*axes)]
+
+
 def cli():
-    """CLI: python -m track_mjx_tpu.train [--config-name NAME] [a.b=c ...]"""
+    """CLI: python -m track_mjx_tpu.train [--config-name NAME] [-m|--multirun]
+    [a.b=c ...]. With --multirun, comma-separated override values sweep the
+    cartesian product sequentially (Hydra multirun parity)."""
     logging.basicConfig(level=logging.INFO)
     args = sys.argv[1:]
     config_name = "rodent-full-clips"
+    multirun = False
     overrides = []
     i = 0
     while i < len(args):
@@ -344,9 +372,20 @@ def cli():
         elif args[i].startswith("--config-name="):
             config_name = args[i].split("=", 1)[1]
             i += 1
+        elif args[i] in ("-m", "--multirun"):
+            multirun = True
+            i += 1
         else:
             overrides.append(args[i])
             i += 1
+    if multirun:
+        jobs = expand_multirun(overrides)
+        for job_idx, job_overrides in enumerate(jobs):
+            logging.info(
+                "multirun job %d/%d: %s", job_idx + 1, len(jobs), job_overrides
+            )
+            main(load_config(config_name, job_overrides))
+        return
     cfg = load_config(config_name, overrides)
     main(cfg)
 
