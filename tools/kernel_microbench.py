@@ -132,6 +132,35 @@ def main():
 
     timeit("qm-build NO euler, iterations=4", solve_noeuler)
 
+    # jb (in-kernel J build) variant at the workload depth: operands from the
+    # real constraint stage, static tables from the solver helper
+    from track_mjx_tpu.physics import solver as solver_mod
+
+    def stages_jb(qpos, qvel, ctrl):
+        d = pm.make_data(plan, model)
+        d = d.replace(qpos=qpos, qvel=qvel, ctrl=ctrl)
+        d, efc = fwd.fwd_position(plan, model, d)
+        return efc.jb_fq, efc.jb_sw, efc.jb_ll, efc.jb_mu
+
+    fq, sw, ll, mu = jax.jit(jax.vmap(stages_jb))(
+        f32(qpos), f32(qvel), f32(ctrl)
+    )
+    dm_np, lim1h_np = solver_mod._jb_static(plan)
+    jb_static = (f32(dm_np), f32(lim1h_np))
+    jb_dims = (int(plan.nlimit), int(plan.ncon))
+    jax.block_until_ready(fq)
+
+    for iters in (0, 4):
+        def solve_jb(qfrc_, qm_, buf_, cdof_, j_, aref_, d_, warm_, iters=iters):
+            return cg_solver_kernel._cg_solve_tpu(
+                qm_, j_, aref_, d_, qfrc_, warm_, tol, hd=hd,
+                crb=(buf_, cdof_, anc, arm),
+                jb=(fq, sw, ll, mu) + jb_static, jb_dims=jb_dims,
+                iterations=iters, ls_iterations=4,
+            )
+
+        timeit(f"qm+J-build+euler, iterations={iters}", solve_jb)
+
     it = sorted(k for k in results)
     slope = (results[it[-1]] - results[it[0]]) / (it[-1] - it[0])
     print(

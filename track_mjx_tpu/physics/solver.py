@@ -365,17 +365,17 @@ def _make_scalar_cg_op(
             all(per_env)
             and in_batched[8]
             and in_batched[9]
-            and in_batched[12]  # fq
-            and in_batched[13]  # sw
-            and (nl == 0 or in_batched[14])  # ll
-            and in_batched[15]  # mu
             and cg_solver_kernel.kernel_available(n, e, jb_dims)
         ):
-            hd_b = (
-                hd
-                if in_batched[7]
-                else jnp.broadcast_to(hd, (axis_size,) + jnp.shape(hd))
-            )
+            def bcast(a, b):
+                # env-INDEPENDENT jb operands (e.g. mu — contact friction is
+                # a model constant) arrive unbatched under the env vmap;
+                # broadcast them rather than silently dropping to the
+                # per-env XLA fallback (a 2.5x regression the round-5 trace
+                # caught: the mu gate rejected the kernel on every step)
+                return a if b else jnp.broadcast_to(a, (axis_size,) + jnp.shape(a))
+
+            hd_b = bcast(hd, in_batched[7])
             anc_u = anc[0] if in_batched[10] else anc
             arm_u = arm[0] if in_batched[11] else arm
             dm_u = dm[0] if in_batched[16] else dm
@@ -384,7 +384,14 @@ def _make_scalar_cg_op(
                 qm, j, aref, d, qfrc_smooth, warm, tol_scalar,
                 hd=hd_b if with_euler else None,
                 crb=(buf, cdof, anc_u, arm_u),
-                jb=(fq, sw, ll, mu, dm_u, lim1h_u),
+                jb=(
+                    bcast(fq, in_batched[12]),
+                    bcast(sw, in_batched[13]),
+                    bcast(ll, in_batched[14]) if nl else ll,
+                    bcast(mu, in_batched[15]),
+                    dm_u,
+                    lim1h_u,
+                ),
                 jb_dims=jb_dims,
                 iterations=iterations, ls_iterations=ls_iterations,
             )
