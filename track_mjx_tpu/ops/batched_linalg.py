@@ -162,6 +162,89 @@ def blocked_substitution(l_ref, lt_ref, y_ref, out_ref, b):
     return out_ref[:]
 
 
+def invert_diag_blocks(l_ref, dinv_ref, panel: int = 8):
+    """dinv[p0:p0+m, :m] = inv(L[p0:p0+m, p0:p0+m]) for every 8-row panel of
+    an (n, n, lanes) lower factor, via forward substitution on the identity
+    (serial within the panel, but done ONCE per factor).
+
+    Motivation (round 5): the fused CG solve performs ~7 (L L^T)^-1 applies
+    per invocation (smooth, grad0, one per CG iteration, Euler), and
+    blocked_substitution serializes each apply over n per-row solves — the
+    dominant latency of the kernel's fixed part (microbench: 2.9 ms fixed vs
+    0.2 ms/iteration at 4096 envs). With the panel-diagonal inverses
+    precomputed, every panel solve in blocked_substitution_pinv is ONE
+    (m, m, lanes) broadcast-reduce, shrinking an apply's serial chain from
+    n row-solves to n/8 panel steps. Numerics: y_p = inv(L_pp) @ r_p
+    reassociates the per-row divisions into an inner product — same
+    f32-roundoff class as the substitution it replaces (pinned by the
+    kernel parity suite)."""
+    n = l_ref.shape[0]
+    for p0 in range(0, n, panel):
+        m = min(panel, n - p0)
+        k_m = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+        row_m = jax.lax.broadcasted_iota(jnp.int32, (m, 1, 1), 0)
+        eye = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (m, m, 1), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (m, m, 1), 1),
+            1.0,
+            0.0,
+        )
+        lpan = l_ref[p0 : p0 + m, p0 : p0 + m, :]  # (m, m, lanes)
+        xp = jnp.zeros_like(lpan)
+        for jj in range(m):
+            lrow = lpan[jj]  # (m, lanes): L[jj, k]
+            s = jnp.sum(
+                jnp.where(k_m[:, :, None] < jj, lrow[:, None, :] * xp, 0.0),
+                axis=0,
+            )  # (m, lanes): sum_k L[jj,k] X[k, :]
+            d = jnp.sum(
+                jnp.where(k_m == jj, lrow, 0.0), axis=0, keepdims=True
+            )  # (1, lanes)
+            v = (eye[jj] - s) / d  # (m, lanes): row jj of inv
+            xp = jnp.where(row_m == jj, v[None, :, :], xp)
+        dinv_ref[p0 : p0 + m, :m, :] = xp
+
+
+def blocked_substitution_pinv(l_ref, lt_ref, dinv_ref, y_ref, out_ref, b):
+    """blocked_substitution with the panel-diagonal inverses precomputed
+    (invert_diag_blocks): each panel's triangular solve is one
+    (m, m, lanes) x (m, lanes) broadcast-reduce instead of m serial row
+    solves, so one (L L^T)^-1 apply serializes over ~2n/8 panel steps
+    instead of ~2n row steps. The backward sweep applies inv(L^T_pp) =
+    inv(L_pp)^T by reducing over the OTHER index of the stored block — no
+    transpose materialization."""
+    n = l_ref.shape[0]
+    panel = 8
+
+    # forward: L y = b
+    out_ref[:] = b
+    for p0 in range(0, n, panel):
+        m = min(panel, n - p0)
+        dpan = dinv_ref[p0 : p0 + m, :m, :]  # inv(L_pp): (m, m, lanes)
+        rp = out_ref[p0 : p0 + m, :]  # (m, lanes)
+        yp = jnp.sum(dpan * rp[None, :, :], axis=1)  # inv(L_pp) @ r_p
+        y_ref[p0 : p0 + m, :] = yp
+        if p0 + m < n:
+            lrest = l_ref[p0 + m :, p0 : p0 + m, :]  # (rest, m, lanes)
+            out_ref[p0 + m :, :] = out_ref[p0 + m :, :] - jnp.sum(
+                lrest * yp[None, :, :], axis=1
+            )
+
+    # backward: L^T x = y
+    for p0 in reversed(list(range(0, n, panel))):
+        m = min(panel, n - p0)
+        dpan = dinv_ref[p0 : p0 + m, :m, :]
+        rp = y_ref[p0 : p0 + m, :]
+        xp = jnp.sum(dpan * rp[:, None, :], axis=0)  # inv(L_pp)^T @ r_p
+        out_ref[p0 : p0 + m, :] = xp
+        if p0 > 0:
+            ltrest = lt_ref[:p0, p0 : p0 + m, :]  # (p0, m, lanes)
+            y_ref[:p0, :] = y_ref[:p0, :] - jnp.sum(
+                ltrest * xp[None, :, :], axis=1
+            )
+    return out_ref[:]
+
+
 def _cho_solve_kernel(l_ref, b_ref, x_ref, lt_ref, y_ref):
     """Solves L L^T x = b for one lane-tile; b/x are (n, lanes).
 

@@ -61,7 +61,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from track_mjx_tpu.ops.batched_linalg import factor_in_place
+from track_mjx_tpu.ops.batched_linalg import factor_in_place, invert_diag_blocks
 
 try:  # TPU-only module; import guarded so CPU-only envs still work
     from jax.experimental.pallas import tpu as pltpu
@@ -82,10 +82,31 @@ def _blocked_chosolve(l_ref, lt_ref, sol_ref, mgrad_ref, b):
     """(L L^T)^-1 b; result returned AND left in mgrad_ref. Shared blocked
     (panel-8) right-looking substitution — see
     batched_linalg.blocked_substitution for the design notes (measured -22%
-    on the whole fused solve vs the per-row fori form)."""
+    on the whole fused solve vs the per-row fori form). Used by the ELLIPTIC
+    kernel: its safeguarded linesearch's bracket decisions are discretely
+    sensitive to chosolve reassociation (the same reason it keeps fresh
+    per-iteration contractions), so it must compute the exact f32 apply the
+    unfused path computes."""
     from track_mjx_tpu.ops.batched_linalg import blocked_substitution
 
     return blocked_substitution(l_ref, lt_ref, sol_ref, mgrad_ref, b)
+
+
+def _blocked_chosolve_pinv(l_ref, lt_ref, dinv_ref, sol_ref, mgrad_ref, b):
+    """(L L^T)^-1 b via precomputed panel-diagonal inverses — see
+    batched_linalg.blocked_substitution_pinv (round 5: shrinks an apply's
+    serial chain from ~2n row solves to ~2n/8 panel steps; the SCALAR
+    kernel does ~7 applies per invocation, so this attacks both the fixed
+    part and the per-iteration cost). Scalar-kernel only: its Newton
+    linesearch has no discrete bracket decisions, so the reassociated
+    apply stays within f32 roundoff of the unfused path (pinned by
+    tests/test_cg_kernel_parity.py). dinv_ref holds
+    invert_diag_blocks(l_ref)."""
+    from track_mjx_tpu.ops.batched_linalg import blocked_substitution_pinv
+
+    return blocked_substitution_pinv(
+        l_ref, lt_ref, dinv_ref, sol_ref, mgrad_ref, b
+    )
 
 
 def _scalar_vmem_bytes(n: int, nefc: int, jb_dims=None) -> int:
@@ -164,7 +185,7 @@ def _cg_kernel(
     jar_ref, grad_ref, mgrad_ref, p_ref, imp_ref, sol_ref = (
         take(), take(), take(), take(), take(), take()
     )
-    l_ref, lt_ref, mdx_ref = take(), take(), take()
+    l_ref, lt_ref, mdx_ref, dinv_ref = take(), take(), take(), take()
     if with_qm_build:
         qm_ref = take()
     if jb_dims is not None:
@@ -227,6 +248,7 @@ def _cg_kernel(
     factor_in_place(l_ref)
     l_ref[:] = jnp.where(row_n >= col_n, l_ref[:], 0.0)
     lt_ref[:] = jnp.swapaxes(l_ref[:], 0, 1)
+    invert_diag_blocks(l_ref, dinv_ref)
     k_n = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     aref = aref_ref[:]
     d_rows = d_ref[:]
@@ -248,8 +270,11 @@ def _cg_kernel(
 
     def chosolve(b):
         """(L L^T)^-1 b; result returned AND left in mgrad_ref (blocked
-        substitution — see _blocked_chosolve)."""
-        return _blocked_chosolve(l_ref, lt_ref, sol_ref, mgrad_ref, b)
+        substitution over pre-inverted panel diagonals — see
+        _blocked_chosolve_pinv)."""
+        return _blocked_chosolve_pinv(
+            l_ref, lt_ref, dinv_ref, sol_ref, mgrad_ref, b
+        )
 
     # qacc_smooth = M^-1 qfrc_smooth, solved in-kernel from the fresh factor
     # and exported (forward dynamics consumes it outside the solver too).
@@ -397,6 +422,7 @@ def _cg_kernel(
         factor_in_place(l_ref)
         l_ref[:] = jnp.where(row_n >= col_n, l_ref[:], 0.0)
         lt_ref[:] = jnp.swapaxes(l_ref[:], 0, 1)
+        invert_diag_blocks(l_ref, dinv_ref)
         eff_ref[:] = chosolve(qfrc_smooth_ref[:] + qfrc)
     else:
         eff_ref[:] = jnp.zeros_like(qfrc)
@@ -634,6 +660,7 @@ def _cg_solve_tpu(
             pltpu.VMEM((n, n, LANE_TILE), dtype),  # L
             pltpu.VMEM((n, n, LANE_TILE), dtype),  # L^T
             pltpu.VMEM((n, LANE_TILE), dtype),  # M (x - smooth)
+            pltpu.VMEM((n, _SUBLANE, LANE_TILE), dtype),  # panel-diag inverses
         ]
         + extra_scratch,
         compiler_params=pltpu.CompilerParams(
@@ -800,7 +827,8 @@ def _ell_cg_kernel(
 
     def chosolve(b):
         """(L L^T)^-1 b; result returned AND left in mgrad_ref (blocked
-        substitution — see _blocked_chosolve)."""
+        substitution — see _blocked_chosolve; the elliptic kernel keeps the
+        parity-exact apply, see the pinv note there)."""
         return _blocked_chosolve(l_ref, lt_ref, sol_ref, mgrad_ref, b)
 
     smooth_out_ref[:] = chosolve(qfrc_smooth_ref[:])
