@@ -124,9 +124,10 @@ def test_scalar_kernel_jb_traces_with_and_without_limits(nl, with_qm):
 
 
 @pytest.mark.parametrize(
-    "with_euler,with_qm", list(itertools.product([False, True], repeat=2))
+    "with_euler,with_qm,with_jb",
+    list(itertools.product([False, True], repeat=3)),
 )
-def test_elliptic_kernel_traces_all_flag_combinations(with_euler, with_qm):
+def test_elliptic_kernel_traces_all_flag_combinations(with_euler, with_qm, with_jb):
     ns, ncon_ell = 6, 4
     e = ns + 3 * ncon_ell
     kw = dict(
@@ -143,14 +144,54 @@ def test_elliptic_kernel_traces_all_flag_combinations(with_euler, with_qm):
         kw["hd"] = _sds(_B, _N)
     if with_qm:
         kw["crb"] = _crb_args()
+    jb_nl = None
+    if with_jb:
+        jb_nl = ns  # scalar rows are limits under the elliptic jb gate
+        kw["jb"] = (
+            _sds(_B, ncon_ell, 3, 6),  # fq
+            _sds(_B, _N, 6),  # sw
+            _sds(_B, ns),  # ll
+            _sds(ncon_ell, _N),  # dm
+            _sds(ns, _N),  # lim1h
+        )
     out = jax.eval_shape(
         lambda **k: ck._ell_cg_solve_tpu(
-            **k, ns=ns, ncon_ell=ncon_ell, iterations=2, ls_iterations=2,
-            interpret=True,
+            **k, ns=ns, ncon_ell=ncon_ell, jb_nl=jb_nl, iterations=2,
+            ls_iterations=2, interpret=True,
         ),
         **kw,
     )
     assert len(out) == (5 if with_euler else 4)
+    assert out[2].shape == (_B, e)
+
+
+@pytest.mark.parametrize("nl", [0, 6])
+def test_elliptic_kernel_jb_traces_with_and_without_limits(nl):
+    ncon_ell = 4
+    e = nl + 3 * ncon_ell
+    jb = (
+        _sds(_B, ncon_ell, 3, 6),
+        _sds(_B, _N, 6),
+        _sds(_B, nl),
+        _sds(ncon_ell, _N),
+        _sds(nl, _N),
+    )
+    out = jax.eval_shape(
+        lambda **k: ck._ell_cg_solve_tpu(
+            **k, ns=nl, ncon_ell=ncon_ell, jb_nl=nl, iterations=2,
+            ls_iterations=2, interpret=True,
+        ),
+        qm=_sds(_B, _N, _N),
+        j=_sds(_B, e, _N),
+        aref=_sds(_B, e),
+        d=_sds(_B, e),
+        mu=_sds(_B, ncon_ell),
+        qfrc_smooth=_sds(_B, _N),
+        warm=_sds(_B, _N),
+        tol=_sds(),
+        hd=_sds(_B, _N),
+        jb=jb,
+    )
     assert out[2].shape == (_B, e)
 
 

@@ -693,15 +693,33 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def ell_kernel_available(n: int, ns: int, ncon_ell: int) -> bool:
-    if pltpu is None or jax.default_backend() != "tpu":
-        return False
+def _ell_vmem_bytes(n: int, ns: int, ncon_ell: int, with_jb: bool = False) -> int:
+    """Estimated per-invocation VMEM footprint of the elliptic kernel
+    (split out for off-TPU unit testing, like _scalar_vmem_bytes)."""
     e = _ceil_to(max(ns, 1), _SUBLANE) + 3 * _ceil_to(ncon_ell, _SUBLANE)
-    blocks = 2 * (e * n + n * n) * LANE_TILE * 4  # double-buffered
-    scratch = 2 * n * n * LANE_TILE * 4  # in-kernel L and L^T
+    if with_jb:
+        c_p = _ceil_to(ncon_ell, _SUBLANE)
+        blocks = 2 * (
+            3 * c_p * _SUBLANE + n * _SUBLANE + n * n
+        ) * LANE_TILE * 4
+        scratch = (2 * n * n + e * n) * LANE_TILE * 4  # L, L^T, built J
+    else:
+        blocks = 2 * (e * n + n * n) * LANE_TILE * 4  # double-buffered
+        scratch = 2 * n * n * LANE_TILE * 4  # in-kernel L and L^T
     temps = 2 * e * n * LANE_TILE * 4  # 3-D matvec products
     small = (8 * e + 8 * n) * LANE_TILE * 4  # cone temporaries are (c, T)
-    return ncon_ell > 0 and blocks + scratch + temps + small <= _VMEM_BUDGET_BYTES
+    return blocks + scratch + temps + small
+
+
+def ell_kernel_available(
+    n: int, ns: int, ncon_ell: int, with_jb: bool = False
+) -> bool:
+    if pltpu is None or jax.default_backend() != "tpu":
+        return False
+    return (
+        ncon_ell > 0
+        and _ell_vmem_bytes(n, ns, ncon_ell, with_jb) <= _VMEM_BUDGET_BYTES
+    )
 
 
 def _ell_cg_kernel(
@@ -711,6 +729,7 @@ def _ell_cg_kernel(
     c: int,  # padded cone-block count (multiple of 8)
     with_euler: bool,
     with_qm_build: bool,
+    jb_nl,  # None, or the REAL limit-row count for the in-kernel J build
     *refs,
 ):
     """Row layout (host-permuted, see _ell_cg_solve_tpu): rows [0:ns] are
@@ -721,63 +740,40 @@ def _ell_cg_kernel(
 
     Like the scalar kernel, with_qm_build swaps the dense qM input for the
     CRB factors and assembles qM in VMEM (the dense matrix stays live in a
-    scratch — matv_m reads it directly in this variant)."""
+    scratch — matv_m reads it directly in this variant). With jb_nl set the
+    J block is ASSEMBLED IN VMEM too: limit one-hot rows in the scalar
+    section, and each cone section k is the frame-projected row
+    jfr[k] = (sum_j fq[k,:,j] sw[:,j]) * diff_mask directly — the cone rows
+    ARE the projected jacobian, no pyramid combination."""
+    refs = list(refs)
+    take = lambda: refs.pop(0)
     if with_qm_build:
-        (
-            buf_ref,
-            cdof_ref,
-            anc_ref,
-            arm_ref,
-            j_ref,
-            aref_ref,
-            d_ref,
-            mu_ref,
-            qfrc_smooth_ref,
-            warm_ref,
-            tolscale_ref,
-            hd_ref,
-            x_ref,
-            force_ref,
-            qfrc_ref,
-            smooth_out_ref,
-            eff_ref,
-            jar_ref,
-            grad_ref,
-            mgrad_ref,
-            p_ref,
-            imp_ref,
-            sol_ref,
-            l_ref,
-            lt_ref,
-            qm_ref,  # scratch in this layout
-        ) = refs
-        n = l_ref.shape[0]
+        buf_ref, cdof_ref, anc_ref, arm_ref = take(), take(), take(), take()
     else:
-        (
-            qm_ref,
-            j_ref,
-            aref_ref,
-            d_ref,
-            mu_ref,
-            qfrc_smooth_ref,
-            warm_ref,
-            tolscale_ref,
-            hd_ref,
-            x_ref,
-            force_ref,
-            qfrc_ref,
-            smooth_out_ref,
-            eff_ref,
-            jar_ref,
-            grad_ref,
-            mgrad_ref,
-            p_ref,
-            imp_ref,
-            sol_ref,
-            l_ref,
-            lt_ref,
-        ) = refs
-        n = qm_ref.shape[0]
+        qm_ref = take()
+    if jb_nl is not None:
+        fq_ref, sw_ref, dm_ref = take(), take(), take()
+        if jb_nl:
+            lim1h_ref, ll_ref = take(), take()
+    else:
+        j_ref = take()
+    aref_ref, d_ref, mu_ref = take(), take(), take()
+    qfrc_smooth_ref, warm_ref, tolscale_ref, hd_ref = (
+        take(), take(), take(), take()
+    )
+    x_ref, force_ref, qfrc_ref, smooth_out_ref, eff_ref = (
+        take(), take(), take(), take(), take()
+    )
+    jar_ref, grad_ref, mgrad_ref, p_ref, imp_ref, sol_ref = (
+        take(), take(), take(), take(), take(), take()
+    )
+    l_ref, lt_ref = take(), take()
+    if with_qm_build:
+        qm_ref = take()
+    if jb_nl is not None:
+        j_ref = take()
+    assert not refs
+    n = qfrc_smooth_ref.shape[0]
     row_n = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
     col_n = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
     if with_qm_build:
@@ -793,6 +789,29 @@ def _ell_cg_kernel(
             - jnp.where(row_n == col_n, lower, 0.0)
         )
         qm_ref[:] = qm + jnp.where(row_n == col_n, arm_ref[:][:, None, :], 0.0)
+    if jb_nl is not None:
+        # Assemble J in VMEM (see the scalar kernel's jb block): limit
+        # one-hot rows scaled by the per-env side*active factor, then each
+        # cone section is the 6-slab frame projection masked by diff_mask.
+        if jb_nl:
+            j_ref[:ns] = lim1h_ref[:][:, :, None] * ll_ref[:][:, None, :]
+        else:
+            # the padded scalar section still exists (ns_p >= 8): zero it so
+            # matv_jt's garbage * 0.0-force products can't produce NaN
+            j_ref[:ns] = jnp.zeros(
+                (ns, n, j_ref.shape[-1]), j_ref.dtype
+            )
+        for k in range(3):
+            acc = (
+                fq_ref[k * c : (k + 1) * c, 0, :][:, None, :]
+                * sw_ref[:, 0, :][None, :, :]
+            )
+            for jj in range(1, 6):
+                acc = acc + (
+                    fq_ref[k * c : (k + 1) * c, jj, :][:, None, :]
+                    * sw_ref[:, jj, :][None, :, :]
+                )
+            j_ref[ns + k * c : ns + (k + 1) * c] = acc * dm_ref[:][:, :, None]
     l_ref[:] = qm_ref[:]
     factor_in_place(l_ref)
     l_ref[:] = jnp.where(row_n >= col_n, l_ref[:], 0.0)
@@ -1056,17 +1075,26 @@ def _ell_layout(ns: int, ncon_ell: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ns", "ncon_ell", "iterations", "ls_iterations", "interpret"),
+    static_argnames=(
+        "ns", "ncon_ell", "jb_nl", "iterations", "ls_iterations", "interpret"
+    ),
 )
 def _ell_cg_solve_tpu(
-    qm, j, aref, d, mu, qfrc_smooth, warm, tol, hd=None, crb=None, *,
-    ns, ncon_ell, iterations, ls_iterations, interpret=False,
+    qm, j, aref, d, mu, qfrc_smooth, warm, tol, hd=None, crb=None, jb=None, *,
+    ns, ncon_ell, jb_nl=None, iterations, ls_iterations, interpret=False,
 ):
     """Batch-first [B, ...] inputs (interleaved row order, as assembled by
     physics/constraint.py) -> (qacc_smooth, x, force, qfrc[, qacc_eff]);
     `force` is returned in the interleaved order. mu is (B, ncon_ell) — each
     block's mu_1 / sqrt(impratio). With `hd` (B, n) the kernel additionally
     returns the Euler implicit-damping solve (see _cg_solve_tpu).
+
+    With `jb` = (fq (B, nc, 3, 6), sw (B, n, 6), ll (B, nl), dm (nc, n),
+    lim1h (nl, n)) and static `jb_nl` = nl (the limit-row count; the gate
+    requires scalar rows == limits), the kernel ASSEMBLES J in VMEM —
+    cone sections are the frame-projected rows directly — and `j` is
+    ignored (its XLA-side assembly DCEs away).
+
     interpret=True runs through the Pallas interpreter for the CPU parity
     suite."""
     bsz, n = qfrc_smooth.shape
@@ -1075,13 +1103,17 @@ def _ell_cg_solve_tpu(
     gather = jnp.asarray(gather)
     keep = jnp.asarray(~pad_mask, dtype)  # (e_p,) 0 on padding rows
 
-    j_p = j[:, gather] * keep[None, :, None]
+    with_j_build = jb is not None
     aref_p = aref[:, gather] * keep[None, :]
     d_p = d[:, gather] * keep[None, :]  # D == 0 makes padding rows inert
     mu_sec = jnp.pad(mu, ((0, 0), (0, c_p - ncon_ell)), constant_values=1.0)
 
     with_qm_build = crb is not None
-    j_en = _pad_tiles(jnp.moveaxis(j_p, 0, -1), LANE_TILE)
+    if with_j_build:
+        j_en = None
+    else:
+        j_p = j[:, gather] * keep[None, :, None]
+        j_en = _pad_tiles(jnp.moveaxis(j_p, 0, -1), LANE_TILE)
     aref_e = _pad_tiles(jnp.moveaxis(aref_p, 0, -1), LANE_TILE)
     d_e = _pad_tiles(jnp.moveaxis(d_p, 0, -1), LANE_TILE)
     mu_c = _pad_tiles(jnp.moveaxis(mu_sec, 0, -1), LANE_TILE)
@@ -1108,7 +1140,33 @@ def _ell_cg_solve_tpu(
             jnp.sum(jnp.diagonal(qm, axis1=1, axis2=2), axis=-1), _EPS
         )
     tolscale_1 = _pad_tiles((tol.astype(dtype) * scale)[None, :], LANE_TILE)
-    tiles = j_en.shape[-1] // LANE_TILE
+    tiles = qfrc_n.shape[-1] // LANE_TILE
+
+    if with_j_build:
+        # marshal the compact J-build operands (see _cg_solve_tpu): fq to
+        # direction-major (3*c_p, 8, tiles*T), sw (n, 8, tiles*T), ll
+        # (ns_p, tiles*T), static dm/lim1h row-padded
+        fq, sw, ll, dm, lim1h = jb
+        fq_d = jnp.swapaxes(jnp.moveaxis(fq.astype(dtype), 0, -1), 0, 1)
+        fq_d = jnp.pad(
+            fq_d, ((0, 0), (0, c_p - ncon_ell), (0, _SUBLANE - 6), (0, 0))
+        )
+        fq_kb = _pad_tiles(fq_d.reshape(3 * c_p, _SUBLANE, bsz), LANE_TILE)
+        sw_d = jnp.pad(sw.astype(dtype), ((0, 0), (0, 0), (0, _SUBLANE - 6)))
+        sw_kb = _pad_tiles(jnp.moveaxis(sw_d, 0, -1), LANE_TILE)
+        dm_cn = jnp.pad(jnp.asarray(dm, dtype), ((0, c_p - ncon_ell), (0, 0)))
+        if jb_nl:
+            ll_kb = _pad_tiles(
+                jnp.moveaxis(
+                    jnp.pad(ll.astype(dtype), ((0, 0), (0, ns_p - jb_nl))),
+                    0,
+                    -1,
+                ),
+                LANE_TILE,
+            )
+            lim1h_nn = jnp.pad(
+                jnp.asarray(lim1h, dtype), ((0, ns_p - jb_nl), (0, 0))
+            )
 
     with_euler = hd is not None
     hd_n = _pad_tiles(
@@ -1120,7 +1178,7 @@ def _ell_cg_solve_tpu(
 
     kernel = functools.partial(
         _ell_cg_kernel, iterations, ls_iterations, ns_p, c_p, with_euler,
-        with_qm_build,
+        with_qm_build, (jb_nl or 0) if with_j_build else None,
     )
 
     def lanes(rows):
@@ -1133,8 +1191,38 @@ def _ell_cg_solve_tpu(
             (a, b, LANE_TILE), lambda i: (0, 0, i), memory_space=pltpu.VMEM
         )
 
-    common_in_specs = [
-        lanes3(e_p, n),  # J (sectioned)
+    def whole(a, b):
+        return pl.BlockSpec((a, b), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    if with_qm_build:
+        kk = buf_nk.shape[1]
+        in_specs = [
+            lanes3(n, kk),  # crb buf
+            lanes3(n, kk),  # cdof
+            whole(n, n),  # ancestry mask
+            lanes(n),  # armature
+        ]
+        inputs = (buf_nk, cdof_nk, anc_nn, arm_n)
+        extra_scratch = [pltpu.VMEM((n, n, LANE_TILE), dtype)]  # built qM
+    else:
+        in_specs = [lanes3(n, n)]  # dense qM
+        inputs = (qm_nn,)
+        extra_scratch = []
+    if with_j_build:
+        in_specs += [
+            lanes3(3 * c_p, _SUBLANE),  # fq
+            lanes3(n, _SUBLANE),  # sw
+            whole(c_p, n),  # diff mask
+        ]
+        inputs += (fq_kb, sw_kb, dm_cn)
+        if jb_nl:
+            in_specs += [whole(ns_p, n), lanes(ns_p)]  # limit one-hots, side
+            inputs += (lim1h_nn, ll_kb)
+        extra_scratch.append(pltpu.VMEM((e_p, n, LANE_TILE), dtype))  # built J
+    else:
+        in_specs += [lanes3(e_p, n)]  # dense J (sectioned)
+        inputs += (j_en,)
+    in_specs += [
         lanes(e_p),  # aref
         lanes(e_p),  # D
         lanes(c_p),  # mu
@@ -1143,21 +1231,7 @@ def _ell_cg_solve_tpu(
         lanes(1),  # tol * scale
         lanes(n),  # h * dof_damping (euler shift)
     ]
-    common_inputs = (j_en, aref_e, d_e, mu_c, qfrc_n, warm_n, tolscale_1, hd_n)
-    if with_qm_build:
-        kk = buf_nk.shape[1]
-        in_specs = [
-            lanes3(n, kk),  # crb buf
-            lanes3(n, kk),  # cdof
-            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            lanes(n),  # armature
-        ] + common_in_specs
-        inputs = (buf_nk, cdof_nk, anc_nn, arm_n) + common_inputs
-        extra_scratch = [pltpu.VMEM((n, n, LANE_TILE), dtype)]  # built qM
-    else:
-        in_specs = [lanes3(n, n)] + common_in_specs  # dense qM
-        inputs = (qm_nn,) + common_inputs
-        extra_scratch = []
+    inputs += (aref_e, d_e, mu_c, qfrc_n, warm_n, tolscale_1, hd_n)
 
     xs, fs, qs, sm, eff = pl.pallas_call(
         kernel,

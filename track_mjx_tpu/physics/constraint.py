@@ -109,6 +109,21 @@ def _jb_supported(plan: PhysicsPlan) -> bool:
     )
 
 
+def _jb_supported_ell(plan: PhysicsPlan) -> bool:
+    """Elliptic-kernel J build (round 5): row structure must be exactly
+    [joint-limit rows | per-contact (normal, t1, t2) cone blocks] — i.e.
+    every contact slot is an elliptic condim-3 block (the cone sections are
+    then the frame-projected rows jfr[k] directly, no pyramid combination)
+    and the scalar section is limits only."""
+    return bool(
+        plan.ncon > 0
+        and plan.ne == 0
+        and plan.nf == 0
+        and plan.ncon_ell == plan.ncon
+        and np.all(plan.contact_condim == 3)
+    )
+
+
 def _kbi(
     model: Model,
     solref: jax.Array,
@@ -427,6 +442,9 @@ def make_constraint(
     ell_mu = jnp.zeros(0, dtype)
     jb_sw = jb_fq = jb_ll = jb_mu = None
     jb_ok = _jb_supported(plan)
+    # elliptic variant: sw/fq/ll feed the elliptic kernel's J build (no mu —
+    # cone rows are the frame-projected rows directly)
+    jb_any = jb_ok or _jb_supported_ell(plan)
 
     def push(J, aref, D, pos, act, fmin, fmax):
         rows_J.append(J)
@@ -481,7 +499,7 @@ def make_constraint(
         # the fused solve assembles J in VMEM (jb_* operands below).
         jv = side * data.qvel[dadr]
         aref = -b * jv - k * imp * pos
-        if jb_ok:
+        if jb_any:
             jb_ll = jnp.where(active, side, 0.0)
         invweight = model.dof_invweight0[dadr]
         D = imp / jnp.maximum((1.0 - imp) * invweight, 1e-12)
@@ -541,14 +559,16 @@ def make_constraint(
 
         pos = contact.dist - contact.includemargin
         active = contact.dist < contact.includemargin
-        if jb_ok:
+        if jb_any:
             # compact J-build operands for the fused TPU solve (see EfcData;
-            # emission is gated on _jb_supported so the None contract holds)
+            # emission is gated on _jb_supported(_ell) so the None contract
+            # holds); mu feeds only the scalar kernel's pyramid combination
             jb_sw = jnp.concatenate([s, w], axis=1)  # (nv, 6)
             jb_fq = jnp.concatenate([contact.frame, q], axis=-1) * active[
                 :, None, None
             ].astype(dtype)
-            jb_mu = contact.friction[:, :2].astype(dtype)
+            if jb_ok:
+                jb_mu = contact.friction[:, :2].astype(dtype)
         # rotational rows (torsional/rolling friction, condim 4/6): the
         # angular jacobian difference projected on the contact frame
         if plan.condim > 3:

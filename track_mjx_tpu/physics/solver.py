@@ -716,14 +716,18 @@ def _elliptic_cg_single(
 
 @functools.lru_cache(maxsize=None)
 def _make_elliptic_cg_op(
-    iterations: int, ls_iterations: int, ncon_ell: int, with_euler: bool
+    iterations: int, ls_iterations: int, ncon_ell: int, with_euler: bool,
+    jb_nl=None,
 ):
     plain_ = functools.partial(
         _elliptic_cg_single, iterations, ls_iterations, ncon_ell
     )
     n_out = 5 if with_euler else 4
+    with_jb = jb_nl is not None
+    n_jb = 5 if with_jb else 0  # fq, sw, ll, dm, lim1h
 
-    def plain(qm, j, aref, d, mu_t, qfrc_smooth, warm, tol, hd, buf, cdof, anc, arm):
+    def plain13(qm, j, aref, d, mu_t, qfrc_smooth, warm, tol, hd, buf, cdof,
+                anc, arm, fq=None, sw=None, ll=None, dm=None, lim1h=None):
         # the dense path consumes qM directly; the CRB factors feed only the
         # TPU kernel's in-VMEM assembly (unused args DCE away)
         out = plain_(qm, j, aref, d, mu_t, qfrc_smooth, warm, tol)
@@ -736,49 +740,99 @@ def _make_elliptic_cg_op(
         )
         return smooth, x, force, qfrc, eff
 
-    @jax.custom_batching.custom_vmap
-    def op(qm, j, aref, d, mu_t, qfrc_smooth, warm, tol, hd, buf, cdof, anc, arm):
-        return plain(
-            qm, j, aref, d, mu_t, qfrc_smooth, warm, tol, hd, buf, cdof, anc, arm
-        )
+    if with_jb:
 
-    @op.def_vmap
-    def _vmap(
+        @jax.custom_batching.custom_vmap
+        def op(qm, j, aref, d, mu_t, qfrc_smooth, warm, tol, hd, buf, cdof,
+               anc, arm, fq, sw, ll, dm, lim1h):
+            return plain13(qm, j, aref, d, mu_t, qfrc_smooth, warm, tol, hd,
+                           buf, cdof, anc, arm, fq, sw, ll, dm, lim1h)
+
+        vmap_decl = op.def_vmap
+
+        def _vmap_jb(
+            axis_size, in_batched, qm, j, aref, d, mu_t, qfrc_smooth, warm,
+            tol, hd, buf, cdof, anc, arm, fq, sw, ll, dm, lim1h,
+        ):
+            return _vmap_impl(
+                axis_size, in_batched, qm, j, aref, d, mu_t, qfrc_smooth,
+                warm, tol, hd, buf, cdof, anc, arm, (fq, sw, ll, dm, lim1h),
+            )
+
+        vmap_decl(_vmap_jb)
+    else:
+
+        @jax.custom_batching.custom_vmap
+        def op(qm, j, aref, d, mu_t, qfrc_smooth, warm, tol, hd, buf, cdof,
+               anc, arm):
+            return plain13(qm, j, aref, d, mu_t, qfrc_smooth, warm, tol, hd,
+                           buf, cdof, anc, arm)
+
+        vmap_decl = op.def_vmap
+
+        def _vmap_plain(
+            axis_size, in_batched, qm, j, aref, d, mu_t, qfrc_smooth, warm,
+            tol, hd, buf, cdof, anc, arm,
+        ):
+            return _vmap_impl(
+                axis_size, in_batched, qm, j, aref, d, mu_t, qfrc_smooth,
+                warm, tol, hd, buf, cdof, anc, arm, (),
+            )
+
+        vmap_decl(_vmap_plain)
+
+    def _vmap_impl(
         axis_size, in_batched, qm, j, aref, d, mu_t, qfrc_smooth, warm, tol,
-        hd, buf, cdof, anc, arm,
+        hd, buf, cdof, anc, arm, jb_args,
     ):
         args = [
-            qm, j, aref, d, mu_t, qfrc_smooth, warm, tol, hd, buf, cdof, anc, arm
+            qm, j, aref, d, mu_t, qfrc_smooth, warm, tol, hd, buf, cdof, anc,
+            arm, *jb_args,
         ]
-        # mu_t and tol derive from model constants and may trace unbatched;
-        # the per-env state operands decide kernel dispatch
+        assert len(jb_args) == n_jb
+        # mu_t/tol/jb derive partly from model constants and may trace
+        # unbatched; broadcast rather than dropping to the fallback (the
+        # round-5 lesson from the scalar jb dispatch). The per-env state
+        # operands decide kernel dispatch.
         core = [in_batched[i] for i in (0, 1, 2, 3, 5, 6)]
         n = qfrc_smooth.shape[-1]
         nefc = aref.shape[-1]
         ns = nefc - 3 * ncon_ell
+
+        def bcast(a, b):
+            return a if b else jnp.broadcast_to(a, (axis_size,) + jnp.shape(a))
+
         if (
             all(core)
             and in_batched[9]
             and in_batched[10]
-            and cg_solver_kernel.ell_kernel_available(n, ns, ncon_ell)
+            and cg_solver_kernel.ell_kernel_available(
+                n, ns, ncon_ell, with_jb
+            )
         ):
-            mu_b = (
-                mu_t
-                if in_batched[4]
-                else jnp.broadcast_to(mu_t, (axis_size,) + jnp.shape(mu_t))
-            )
+            mu_b = bcast(mu_t, in_batched[4])
             tol_scalar = tol[0] if in_batched[7] else tol
-            hd_b = (
-                hd
-                if in_batched[8]
-                else jnp.broadcast_to(hd, (axis_size,) + jnp.shape(hd))
-            )
+            hd_b = bcast(hd, in_batched[8])
             anc_u = anc[0] if in_batched[11] else anc
             arm_u = arm[0] if in_batched[12] else arm
+            jb = None
+            if with_jb:
+                fq, sw, ll, dm, lim1h = jb_args
+                jb_b = in_batched[13:]
+                dm_u = dm[0] if jb_b[3] else dm
+                lim1h_u = lim1h[0] if jb_b[4] else lim1h
+                jb = (
+                    bcast(fq, jb_b[0]),
+                    bcast(sw, jb_b[1]),
+                    bcast(ll, jb_b[2]) if jb_nl else ll,
+                    dm_u,
+                    lim1h_u,
+                )
             out = cg_solver_kernel._ell_cg_solve_tpu(
                 qm, j, aref, d, mu_b, qfrc_smooth, warm, tol_scalar,
                 hd=hd_b if with_euler else None,
                 crb=(buf, cdof, anc_u, arm_u),
+                jb=jb, jb_nl=jb_nl if with_jb else None,
                 ns=ns, ncon_ell=ncon_ell,
                 iterations=iterations, ls_iterations=ls_iterations,
             )
@@ -787,7 +841,7 @@ def _make_elliptic_cg_op(
             a if b else jnp.broadcast_to(a, (axis_size,) + jnp.shape(a))
             for a, b in zip(args, in_batched)
         ]
-        return jax.vmap(plain)(*args), (True,) * n_out
+        return jax.vmap(plain13)(*args), (True,) * n_out
 
     return op
 
@@ -982,8 +1036,24 @@ def solve(
         # TPU the whole chain is one Pallas kernel per batch tile
         mu_t = efc.ell_mu * jax.lax.rsqrt(jnp.maximum(model.opt_impratio, _EPS))
         with_euler = fused_euler(plan)
+        jb_nl = None
+        jb_args = ()
+        if J_BUILD and efc.jb_fq is not None:
+            # in-kernel J build, elliptic variant (round 5): cone sections
+            # are the frame-projected rows directly; dense efc.J DCEs away
+            jb_nl = int(plan.nlimit)
+            dm_np, lim1h_np = _jb_static(plan)
+            ll = efc.jb_ll if plan.nlimit else jnp.zeros((0,), dtype)
+            jb_args = (
+                efc.jb_fq,
+                efc.jb_sw,
+                ll,
+                jnp.asarray(dm_np, dtype),
+                jnp.asarray(lim1h_np, dtype),
+            )
         op = _make_elliptic_cg_op(
-            plan.iterations, plan.ls_iterations, plan.ncon_ell, with_euler
+            plan.iterations, plan.ls_iterations, plan.ncon_ell, with_euler,
+            jb_nl,
         )
         out = op(
             data.qM,
@@ -999,6 +1069,7 @@ def solve(
             data.cdof,
             jnp.asarray(plan.ancestry_mask, dtype),
             model.dof_armature.astype(dtype),
+            *jb_args,
         )
         smooth, x, force, qfrc = out[:4]
         data = data.replace(
